@@ -1,0 +1,17 @@
+"""Test configuration: force CPU backend with 8 virtual devices for SPMD tests.
+
+The image's sitecustomize registers the 'axon' TPU backend at interpreter
+start and pins JAX_PLATFORMS=axon, so the env-var route is dead by the time
+conftest runs. ``jax.config.update('jax_platforms', ...)`` still wins, and
+XLA_FLAGS is read lazily at first CPU-client creation.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)

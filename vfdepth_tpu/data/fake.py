@@ -1,0 +1,98 @@
+"""Synthetic in-memory dataset implementing the batch contract.
+
+Lets the full train/eval loop, tests, and benchmarks run without DDAD /
+nuScenes on disk (the reference has no such capability — SURVEY.md §4 calls
+it out as a required addition). Geometry is a plausible 6-camera rig: cameras
+at 60-degree yaw increments around the vehicle, slight forward motion between
+frames.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+from .contract import build_intrinsics_pyramid, color_key
+
+
+def make_rig_extrinsics(num_cams: int, radius: float = 1.5) -> np.ndarray:
+    """[cams, 4, 4] camera-to-world. Camera looks outward; world x-fwd/y-left/z-up.
+
+    Camera frame: +z optical axis (forward), +x right, +y down.
+    """
+    exts = []
+    for c in range(num_cams):
+        yaw = 2.0 * np.pi * c / max(num_cams, 1)
+        # world-frame camera axes
+        fwd = np.array([np.cos(yaw), np.sin(yaw), 0.0])     # optical axis
+        right = np.array([np.sin(yaw), -np.cos(yaw), 0.0])  # camera +x
+        down = np.array([0.0, 0.0, -1.0])                   # camera +y
+        rot = np.stack([right, down, fwd], axis=1)  # columns = cam axes in world
+        ext = np.eye(4)
+        ext[:3, :3] = rot
+        ext[:3, 3] = fwd * radius + np.array([0.0, 0.0, 1.5])
+        exts.append(ext)
+    return np.stack(exts).astype(np.float32)
+
+
+class FakeDataset:
+    """Deterministic random dataset with the full batch-dict contract."""
+
+    def __init__(self, num_samples: int = 32, num_cams: int = 6,
+                 height: int = 384, width: int = 640,
+                 frame_ids: Sequence[int] = (0, -1, 1),
+                 fusion_level: int = 2, with_depth: bool = False,
+                 seed: int = 0, max_depth: float = 200.0):
+        self.num_samples = num_samples
+        self.num_cams = num_cams
+        self.height = height
+        self.width = width
+        self.frame_ids = tuple(frame_ids)
+        self.fusion_level = fusion_level
+        self.with_depth = with_depth
+        self.seed = seed
+        self.max_depth = max_depth
+
+        k = np.eye(4, dtype=np.float32)
+        k[0, 0] = 0.55 * width
+        k[1, 1] = 0.55 * width
+        k[0, 2] = width / 2.0
+        k[1, 2] = height / 2.0
+        self.k_full = np.tile(k, (num_cams, 1, 1))
+        self.extrinsics = make_rig_extrinsics(num_cams)
+        self.extrinsics_inv = np.linalg.inv(self.extrinsics).astype(np.float32)
+
+    def __len__(self) -> int:
+        return self.num_samples
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        rng = np.random.RandomState(self.seed * 100003 + idx)
+        c, h, w = self.num_cams, self.height, self.width
+        n_scales = self.fusion_level + 2
+
+        sample: Dict[str, np.ndarray] = {}
+        base = rng.rand(c, h, w, 3).astype(np.float32)
+        for f in self.frame_ids:
+            # context frames: slightly shifted copies so photometric losses
+            # have structure to latch onto
+            img = np.roll(base, shift=f * 2, axis=2) if f else base
+            sample[color_key(f, 0)] = img
+            sample[color_key(f, 0, aug=True)] = img
+        for s in range(1, n_scales):
+            hs, ws = h // (2 ** s), w // (2 ** s)
+            small = sample[color_key(0, 0)][:, ::2 ** s, ::2 ** s][:, :hs, :ws]
+            sample[color_key(0, s)] = np.ascontiguousarray(small)
+            sample[color_key(0, s, aug=True)] = np.ascontiguousarray(small)
+
+        sample.update(build_intrinsics_pyramid(self.k_full, n_scales))
+        sample["extrinsics"] = self.extrinsics
+        sample["extrinsics_inv"] = self.extrinsics_inv
+        sample["mask"] = np.ones((c, h, w, 1), dtype=np.float32)
+        if self.with_depth:
+            depth = rng.uniform(2.0, 0.45 * self.max_depth, size=(c, h, w, 1))
+            sample["depth"] = depth.astype(np.float32)
+        return sample
+
+    def batch(self, indices: Sequence[int]) -> Dict[str, np.ndarray]:
+        samples = [self[i] for i in indices]
+        return {k: np.stack([s[k] for s in samples]) for k in samples[0]}

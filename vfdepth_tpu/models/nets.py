@@ -1,0 +1,215 @@
+"""Top-level depth / pose networks (flax.linen, NHWC).
+
+Re-designs of the reference's four networks (reference ``network/__init__.py:3-9``):
+  * ``FusedDepthNet``  — surround-view fusion depth (fusion_depthnet.py:14-94)
+  * ``FusedPoseNet``   — canonical motion from BEV   (fusion_posenet.py:12-72)
+  * ``MonoDepthNet``   — Monodepth2 'fsm' baseline   (mono_depthnet.py)
+  * ``MonoPoseNet``    — Monodepth2 pose baseline    (mono_posenet.py)
+
+All of them consume/produce stacked camera-axis arrays; the camera dimension
+is folded into batch only around the shared 2D conv encoders/decoders
+(pack/unpack, reference blocks.py:6-31).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .blocks import ConvBlock, pack_cam_feat, unpack_cam_feat
+from .resnet import ResnetEncoder, num_ch_enc
+from .decoders import FusionDepthDecoder, MonoDepthDecoder, PoseDecoder
+from .vfnet import VFNet
+from ..ops.resize import resize_bilinear
+
+
+class FusedDepthNet(nn.Module):
+    """Packed 6-cam ResNet encoder -> level aggregation -> VFNet voxel
+    round-trip -> fusion depth decoder -> sigmoid disparity.
+
+    Feature aggregation (reference fusion_depthnet.py:58-66): encoder levels
+    >= fusion_level are bilinearly upsampled (align_corners=True) to the
+    fusion resolution, concatenated, and 1x1-conv-reduced to
+    ``fusion_feat_in_dim`` channels.
+    """
+    num_layers: int = 18
+    fusion_level: int = 2
+    fusion_feat_in_dim: int = 256
+    use_skips: bool = False
+    scales: Sequence[int] = (0,)
+    num_cams: int = 6
+    height: int = 384
+    width: int = 640
+    voxel_str_p: Sequence[float] = (-50.0, -50.0, -15.0)
+    voxel_unit_size: Sequence[float] = (1.0, 1.0, 1.5)
+    voxel_size: Sequence[int] = (100, 100, 20)
+    voxel_pre_dim: Sequence[int] = (64,)
+    proj_d_bins: int = 50
+    proj_d_str: float = 2.0
+    proj_d_end: float = 50.0
+    overlap_groups: Tuple[Sequence[int], Sequence[int]] = ((0, 3, 4), (1, 2, 5))
+
+    @nn.compact
+    def __call__(
+        self,
+        images: jnp.ndarray,          # [b, cams, H, W, 3] color_aug frame 0
+        mask: jnp.ndarray,            # [b, cams, H, W, 1]
+        intrinsics: jnp.ndarray,      # [b, cams, 4, 4] at fusion_level+1 scale
+        inv_k: jnp.ndarray,           # [b, cams, 4, 4] at fusion_level+1 scale
+        extrinsics: jnp.ndarray,
+        extrinsics_inv: jnp.ndarray,
+        extrinsics_aug: Optional[jnp.ndarray] = None,
+        train: bool = True,
+    ) -> Dict[str, jnp.ndarray]:
+        b, cams = images.shape[:2]
+        lev = self.fusion_level
+
+        packed = pack_cam_feat(images)
+        feats = ResnetEncoder(self.num_layers, 1, name="encoder")(packed, train)
+
+        up_h, up_w = feats[lev].shape[-3], feats[lev].shape[-2]
+        agg = [feats[lev]] + [
+            resize_bilinear(f, (up_h, up_w), align_corners=True) for f in feats[lev + 1:]
+        ]
+        agg = jnp.concatenate(agg, axis=-1)
+        agg = ConvBlock(self.fusion_feat_in_dim, kernel_size=1, name="conv1x1")(agg, train)
+        feats_agg = unpack_cam_feat(agg, b, cams)
+
+        fusion = VFNet(
+            feat_in_dim=self.fusion_feat_in_dim,
+            feat_out_dim=num_ch_enc(self.num_layers)[lev],
+            model="depth",
+            voxel_str_p=self.voxel_str_p,
+            voxel_unit_size=self.voxel_unit_size,
+            voxel_size=self.voxel_size,
+            voxel_pre_dim=self.voxel_pre_dim,
+            proj_d_bins=self.proj_d_bins,
+            proj_d_str=self.proj_d_str,
+            proj_d_end=self.proj_d_end,
+            num_cams=self.num_cams,
+            fusion_level=lev,
+            height=self.height,
+            width=self.width,
+            overlap_groups=self.overlap_groups,
+            name="fusion_net",
+        )(feats_agg, mask, intrinsics, inv_k, extrinsics, extrinsics_inv,
+          extrinsics_aug=extrinsics_aug, train=train)
+
+        decoder = FusionDepthDecoder(
+            level_in=lev,
+            num_ch_enc=num_ch_enc(self.num_layers)[: lev + 1],
+            scales=tuple(self.scales),
+            use_skips=self.use_skips,
+            name="decoder",
+        )
+        skip_feats = [feats[i] for i in range(lev)]
+
+        outputs: Dict[str, jnp.ndarray] = {}
+        dec = decoder(skip_feats + [pack_cam_feat(fusion["proj_feat"])])
+        for k, v in dec.items():
+            outputs[k] = unpack_cam_feat(v, b, cams)
+
+        if extrinsics_aug is not None:
+            dec_aug = decoder(skip_feats + [pack_cam_feat(fusion["proj_feat_aug"])])
+            for k, v in dec_aug.items():
+                outputs[f"{k}/aug"] = unpack_cam_feat(v, b, cams)
+        return outputs
+
+
+class FusedPoseNet(nn.Module):
+    """Two stacked frames per camera -> encoder -> aggregation -> VFNet pose
+    (BEV) -> PoseDecoder -> one canonical (axisangle, translation)."""
+    num_layers: int = 18
+    fusion_level: int = 2
+    fusion_feat_in_dim: int = 256
+    num_cams: int = 6
+    height: int = 384
+    width: int = 640
+    voxel_str_p: Sequence[float] = (-50.0, -50.0, -15.0)
+    voxel_unit_size: Sequence[float] = (1.0, 1.0, 1.5)
+    voxel_size: Sequence[int] = (100, 100, 20)
+    proj_d_bins: int = 50
+    proj_d_str: float = 2.0
+    proj_d_end: float = 50.0
+
+    @nn.compact
+    def __call__(
+        self,
+        cur_images: jnp.ndarray,      # [b, cams, H, W, 3]
+        next_images: jnp.ndarray,     # [b, cams, H, W, 3]
+        mask: jnp.ndarray,
+        intrinsics: jnp.ndarray,
+        inv_k: jnp.ndarray,
+        extrinsics: jnp.ndarray,
+        extrinsics_inv: jnp.ndarray,
+        train: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        b, cams = cur_images.shape[:2]
+        lev = self.fusion_level
+
+        pair = jnp.concatenate([cur_images, next_images], axis=-1)  # 6 channels
+        packed = pack_cam_feat(pair)
+        feats = ResnetEncoder(self.num_layers, 2, name="encoder")(packed, train)
+
+        up_h, up_w = feats[lev].shape[-3], feats[lev].shape[-2]
+        agg = [feats[lev]] + [
+            resize_bilinear(f, (up_h, up_w), align_corners=True) for f in feats[lev + 1:]
+        ]
+        agg = jnp.concatenate(agg, axis=-1)
+        agg = ConvBlock(self.fusion_feat_in_dim, kernel_size=1, name="conv1x1")(agg, train)
+        feats_agg = unpack_cam_feat(agg, b, cams)
+
+        bev = VFNet(
+            feat_in_dim=self.fusion_feat_in_dim,
+            feat_out_dim=num_ch_enc(self.num_layers)[lev],
+            model="pose",
+            voxel_str_p=self.voxel_str_p,
+            voxel_unit_size=self.voxel_unit_size,
+            voxel_size=self.voxel_size,
+            proj_d_bins=self.proj_d_bins,
+            proj_d_str=self.proj_d_str,
+            proj_d_end=self.proj_d_end,
+            num_cams=self.num_cams,
+            fusion_level=lev,
+            height=self.height,
+            width=self.width,
+            name="fusion_net",
+        )(feats_agg, mask, intrinsics, inv_k, extrinsics, extrinsics_inv,
+          train=train)["bev_feat"]
+
+        axisangle, translation = PoseDecoder(
+            num_frames_to_predict_for=1, stride=2, name="pose_decoder")(bev)
+        # translation clamp +-4.0 m (reference fusion_posenet.py:72)
+        return axisangle, jnp.clip(translation, -4.0, 4.0)
+
+
+class MonoDepthNet(nn.Module):
+    """Monodepth2-style per-camera depth ('fsm' baseline; reference
+    mono_depthnet.py). Input is a packed [n, H, W, 3] image batch."""
+    num_layers: int = 18
+    scales: Sequence[int] = (0, 1, 2, 3)
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray, train: bool = True) -> Dict[str, jnp.ndarray]:
+        feats = ResnetEncoder(self.num_layers, 1, name="encoder")(images, train)
+        return MonoDepthDecoder(
+            num_ch_enc=num_ch_enc(self.num_layers),
+            scales=tuple(self.scales),
+            name="decoder",
+        )(feats)
+
+
+class MonoPoseNet(nn.Module):
+    """Monodepth2-style per-camera pose (reference mono_posenet.py):
+    2 frames stacked on channels -> encoder -> pose decoder."""
+    num_layers: int = 18
+
+    @nn.compact
+    def __call__(self, cur_images: jnp.ndarray, next_images: jnp.ndarray,
+                 train: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        pair = jnp.concatenate([cur_images, next_images], axis=-1)
+        feats = ResnetEncoder(self.num_layers, 2, name="encoder")(pair, train)
+        axisangle, translation = PoseDecoder(
+            num_frames_to_predict_for=1, stride=1, name="pose_decoder")(feats[-1])
+        return axisangle, jnp.clip(translation, -4.0, 4.0)

@@ -1,0 +1,266 @@
+"""Volumetric fusion network (flax.linen) — the core of the framework.
+
+TPU-first re-design of the reference ``VFNet``
+(``network/volumetric_fusionnet.py:11-343``):
+
+  * all per-camera Python loops become batched einsums / vmapped gathers over
+    an explicit camera axis;
+  * voxel features are channels-last ``[b, n_voxels, C]`` so the
+    overlap/non-overlap fusion MLPs (reference 1x1 conv1d, lines 48-49) are
+    straight ``[n_voxels, C] @ [C, C']`` MXU matmuls;
+  * image->voxel back-projection uses the gather-based bilinear sampler, and
+    voxel->frustum reprojection the trilinear sampler (reference
+    ``F.grid_sample`` 2D at :143 and 3D at :261);
+  * the voxel/pixel/depth grids are jit-time constants (reference
+    precomputes buffers + lazily moves devices, :20-40/:105-114 — unnecessary
+    under XLA).
+
+Geometry conventions follow the reference exactly: world frame x-fwd/y-left/
+z-up, voxel volume [z, y, x] with x fastest, depth-bin frustum per camera,
+NDC normalization per world axis (:253-258), per-voxel validity =
+self-occlusion mask (nearest-sampled > 0.5) x (z > 0) x in-bounds (:183-195).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .blocks import ConvBlock, PointwiseBlock, pack_cam_feat, unpack_cam_feat
+from ..geometry.projection import voxel_points_homo, frustum_world_points
+from ..geometry.se3 import axis_angle_to_matrix
+from ..ops.grid_sample import grid_sample_2d, grid_sample_3d
+from ..ops.resize import resize_bilinear
+
+
+class VFNet(nn.Module):
+    """Surround-view fusion: back-project per-camera features into one metric
+    voxel volume, fuse, and (depth) re-project into each camera's frustum or
+    (pose) collapse to a BEV feature.
+
+    Attributes mirror the reference's config keys (configs/*.yaml `model:`).
+    """
+    feat_in_dim: int
+    feat_out_dim: int
+    model: str = "depth"  # 'depth' | 'pose'
+    # voxel space
+    voxel_str_p: Sequence[float] = (-50.0, -50.0, -15.0)
+    voxel_unit_size: Sequence[float] = (1.0, 1.0, 1.5)
+    voxel_size: Sequence[int] = (100, 100, 20)  # (x, y, z) counts
+    voxel_pre_dim: Sequence[int] = (64,)
+    # frustum depth bins
+    proj_d_bins: int = 50
+    proj_d_str: float = 2.0
+    proj_d_end: float = 50.0
+    # rig / image
+    num_cams: int = 6
+    fusion_level: int = 2
+    height: int = 384
+    width: int = 640
+    overlap_groups: Tuple[Sequence[int], Sequence[int]] = ((0, 3, 4), (1, 2, 5))
+
+    def setup(self):
+        # submodules must be declared here (helper methods below use them)
+        if self.model == "depth":
+            self.conv_non_overlap = [
+                PointwiseBlock(ch, name=f"conv_non_overlap_{j}")
+                for j, ch in enumerate(self.voxel_pre_dim)]
+            self.conv_overlap = [
+                PointwiseBlock(ch, name=f"conv_overlap_{j}")
+                for j, ch in enumerate(self.voxel_pre_dim)]
+        self.reduce_dim_0 = ConvBlock(
+            256, 3, stride=1 if self.model == "depth" else 2, name="reduce_dim_0")
+        self.reduce_dim_1 = ConvBlock(
+            self.feat_out_dim, 3, stride=1 if self.model == "depth" else 2,
+            name="reduce_dim_1")
+
+    @property
+    def img_h(self) -> int:
+        return self.height // (2 ** (self.fusion_level + 1))
+
+    @property
+    def img_w(self) -> int:
+        return self.width // (2 ** (self.fusion_level + 1))
+
+    @property
+    def vol_dims(self) -> Tuple[int, int, int]:
+        """(z, y, x) counts."""
+        vx, vy, vz = self.voxel_size
+        return vz, vy, vx
+
+    def backproject_into_voxel(
+        self,
+        feats_agg: jnp.ndarray,     # [b, cams, h, w, C]
+        mask: jnp.ndarray,          # [b, cams, H, W, 1] self-occlusion
+        intrinsics: jnp.ndarray,    # [b, cams, 4, 4] at fusion_level+1 scale
+        extrinsics_inv: jnp.ndarray,  # [b, cams, 4, 4]
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Returns per-camera voxel features [b, cams, n, C+1], validity
+        [b, cams, n, 1], and visibility count [b, n, 1]."""
+        h_dim, w_dim = feats_agg.shape[-3], feats_agg.shape[-2]
+        dtype = feats_agg.dtype
+        vz, vy, vx = self.vol_dims
+        n_vox = vz * vy * vx
+
+        vox = voxel_points_homo(self.voxel_str_p, self.voxel_unit_size,
+                                self.voxel_size, dtype)  # [4, n]
+
+        # voxels -> each camera frame (reference :132-133)
+        v_local = jnp.einsum("bcij,jn->bcin", extrinsics_inv[..., :3, :], vox)
+
+        # pinhole projection + align_corners NDC (reference :166-181)
+        cam_pts = jnp.einsum("bcij,bcjn->bcin", intrinsics[..., :3, :3], v_local)
+        z = cam_pts[..., 2:3, :]
+        xy = cam_pts[..., :2, :] / (z + 1e-8)
+        xy = jnp.nan_to_num(xy, nan=2.0 * w_dim, posinf=2.0 * w_dim, neginf=-2.0 * w_dim)
+        xy = jnp.clip(xy, -2.0 * w_dim, 2.0 * w_dim)
+        scale = jnp.array([2.0 / (w_dim - 1), 2.0 / (h_dim - 1)], dtype=dtype)
+        pix = jnp.moveaxis(xy * scale[:, None] - 1.0, -2, -1)  # [b, cams, n, 2]
+
+        # validity: occlusion mask (nearest), in-front, in-bounds (:183-195)
+        mask_lowres = resize_bilinear(mask, (h_dim, w_dim), align_corners=True)
+        m = grid_sample_2d(mask_lowres, pix, mode="nearest")  # [b, cams, n, 1]
+        in_front = (v_local[..., 2, :] > 0)[..., None]
+        in_bounds = jnp.all((pix >= -1.0) & (pix <= 1.0), axis=-1, keepdims=True)
+        valid = ((m > 0.5) & in_front & in_bounds).astype(dtype)
+
+        feat = grid_sample_2d(feats_agg, pix, mode="bilinear")  # [b, cams, n, C]
+        # append normalized camera-frame depth as a feature (:145)
+        rel_depth = v_local[..., 2, :][..., None] / self.voxel_size[0]
+        feat = jnp.concatenate([feat, rel_depth], axis=-1) * valid
+
+        count = jnp.sum(valid, axis=1)  # [b, n, 1]
+        return feat, valid, count
+
+    def fuse_depth(self, feat: jnp.ndarray, count: jnp.ndarray) -> jnp.ndarray:
+        """Overlap-aware fusion (reference :154-158, :197-230).
+
+        Non-overlap voxels (seen by exactly 1 camera): summed features through
+        one MLP. Overlap voxels (exactly 2): the two static camera-group sums
+        concatenated through another MLP. Outputs [b, n, voxel_pre_dim[-1]].
+        """
+        dtype = feat.dtype
+        total = jnp.sum(feat, axis=1)  # [b, n, C+1]
+        non_overlap_mask = (count == 1).astype(dtype)
+        x_no = total * non_overlap_mask
+        for blk in self.conv_non_overlap:
+            x_no = blk(x_no)
+        x_no = x_no * non_overlap_mask
+
+        g1, g2 = self.overlap_groups
+        g1 = [c for c in g1 if c < self.num_cams]
+        g2 = [c for c in g2 if c < self.num_cams]
+        feat1 = jnp.sum(feat[:, jnp.asarray(g1)], axis=1)
+        feat2 = jnp.sum(feat[:, jnp.asarray(g2)], axis=1)
+        overlap_mask = (count == 2).astype(dtype)
+        x_o = jnp.concatenate([feat1, feat2], axis=-1)
+        for blk in self.conv_overlap:
+            x_o = blk(x_o)
+        x_o = x_o * overlap_mask
+        return x_no + x_o
+
+    def project_voxel_into_image(
+        self,
+        voxel_feat: jnp.ndarray,   # [b, n, C]
+        inv_k: jnp.ndarray,        # [b, cams, 4, 4]
+        extrinsics: jnp.ndarray,   # [b, cams, 4, 4]
+        train: bool = True,
+    ) -> jnp.ndarray:
+        """Voxel volume -> per-camera frustum features -> reduced 2D feature.
+
+        Returns [b, cams, img_h, img_w, feat_out_dim] (reference :232-267).
+        """
+        b = voxel_feat.shape[0]
+        vz, vy, vx = self.vol_dims
+        c = voxel_feat.shape[-1]
+        vol = voxel_feat.reshape(b, vz, vy, vx, c)
+        dtype = voxel_feat.dtype
+
+        bins = jnp.linspace(self.proj_d_str, self.proj_d_end, self.proj_d_bins,
+                            dtype=dtype)
+        world = frustum_world_points(inv_k, extrinsics, self.img_h, self.img_w,
+                                     bins)  # [b, cams, d, P, 3]
+
+        # world xyz -> voxel NDC per axis (reference :253-258)
+        str_p = jnp.array(self.voxel_str_p, dtype=dtype)
+        end_p = str_p + jnp.array(self.voxel_unit_size, dtype=dtype) * (
+            jnp.array(self.voxel_size, dtype=dtype) - 1.0)
+        ndc = (world - str_p) / (end_p - str_p) * 2.0 - 1.0
+
+        sampled = grid_sample_3d(vol, ndc)  # [b, cams, d, P, C]
+        d, p = self.proj_d_bins, self.img_h * self.img_w
+        # -> [b, cams, h, w, d*C]; channel ordering is internal to the learned
+        # reduction convs so the exact (d, C) interleave need not match torch.
+        feat2d = jnp.moveaxis(sampled, -3, -2).reshape(
+            b, self.num_cams, self.img_h, self.img_w, d * c)
+
+        packed = pack_cam_feat(feat2d)
+        packed = self.reduce_dim_0(packed, train)
+        packed = self.reduce_dim_1(packed, train)
+        return unpack_cam_feat(packed, b, self.num_cams)
+
+    def bev_from_voxel(self, voxel_feat: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        """Pose path: collapse z into channels, reduce to a BEV feature
+        [b, y/4, x/4, feat_out_dim] (reference :54-56, :338-343)."""
+        b = voxel_feat.shape[0]
+        vz, vy, vx = self.vol_dims
+        c = voxel_feat.shape[-1]
+        bev = voxel_feat.reshape(b, vz, vy, vx, c)
+        bev = jnp.moveaxis(bev, 1, 3).reshape(b, vy, vx, vz * c)
+        bev = self.reduce_dim_0(bev, train)
+        bev = self.reduce_dim_1(bev, train)
+        return bev
+
+    def __call__(
+        self,
+        feats_agg: jnp.ndarray,
+        mask: jnp.ndarray,
+        intrinsics: jnp.ndarray,
+        inv_k: jnp.ndarray,
+        extrinsics: jnp.ndarray,
+        extrinsics_inv: jnp.ndarray,
+        extrinsics_aug: Optional[jnp.ndarray] = None,
+        train: bool = True,
+    ):
+        """Returns a dict: depth mode -> {'proj_feat', ['proj_feat_aug'],
+        'voxel_feat'}; pose mode -> {'bev_feat'}."""
+        feat, valid, count = self.backproject_into_voxel(
+            feats_agg, mask, intrinsics, extrinsics_inv)
+
+        if self.model == "depth":
+            voxel_feat = self.fuse_depth(feat, count)
+            out = {
+                "voxel_feat": voxel_feat,
+                "proj_feat": self.project_voxel_into_image(
+                    voxel_feat, inv_k, extrinsics, train),
+            }
+            if extrinsics_aug is not None:
+                out["proj_feat_aug"] = self.project_voxel_into_image(
+                    voxel_feat, inv_k, extrinsics_aug, train)
+            return out
+
+        # pose: visibility-weighted mean over cameras (reference :160-162)
+        voxel_feat = jnp.sum(feat, axis=1) / (count + 1e-7)
+        return {"bev_feat": self.bev_from_voxel(voxel_feat, train)}
+
+
+def augment_extrinsics(rng: jax.Array, extrinsics: jnp.ndarray,
+                       aug_angle: Sequence[float]) -> jnp.ndarray:
+    """Random-rotation extrinsics augmentation for depth synthesis training.
+
+    Mirrors reference ``VFNet.augment_extrinsics`` (:269-287) including its
+    quirk of feeding ``(rand - 0.5) * aug_angle`` straight into
+    axis-angle (i.e. the config values act as radian ranges at train time,
+    while the eval sweep in utils/visualize.py uses degrees).
+    No gradients flow (stop_gradient).
+    """
+    b, cams = extrinsics.shape[:2]
+    u = jax.random.uniform(rng, (b, cams, 3), dtype=extrinsics.dtype)
+    angle = (u - 0.5) * jnp.array(aug_angle, dtype=extrinsics.dtype)
+    rot = axis_angle_to_matrix(angle)  # [b, cams, 3, 3]
+    tform = jnp.zeros((b, cams, 4, 4), dtype=extrinsics.dtype)
+    tform = tform.at[..., :3, :3].set(rot).at[..., 3, 3].set(1.0)
+    return jax.lax.stop_gradient(tform @ extrinsics)

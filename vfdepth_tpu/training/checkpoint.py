@@ -1,0 +1,69 @@
+"""Checkpoint save/load (orbax) with the reference's layout semantics.
+
+Reference behavior (``models/base_model.py:45-93``): per-epoch directories
+``<save_weights_root>/weights_<epoch>/`` holding one file per network plus
+the optimizer state; loading supports a ``models_to_load`` subset with
+partial state-dict update and a graceful fallback when optimizer state is
+missing. Here each epoch directory is one orbax checkpoint of the pytree
+``{params: {depth_net, pose_net}, batch_stats: ..., opt_state: ..., step}``;
+``models_to_load`` restores only the chosen nets' params/stats into the
+current state (the partial-load capability used to eval depth_net only).
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, List, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from .step import TrainState
+
+
+def save_checkpoint(save_root: str, epoch: int, state: TrainState) -> str:
+    path = os.path.abspath(os.path.join(save_root, f"weights_{epoch}"))
+    ckptr = ocp.StandardCheckpointer()
+    tree = {
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+    }
+    ckptr.save(path, tree, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def load_checkpoint(load_dir: str, state: TrainState,
+                    models_to_load: Optional[List[str]] = None,
+                    load_optimizer: bool = True) -> TrainState:
+    """Restore (a subset of) networks into ``state`` from ``load_dir``."""
+    path = os.path.abspath(load_dir)
+    ckptr = ocp.StandardCheckpointer()
+    template = {
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+    }
+    restored = ckptr.restore(path, target=template)
+
+    if models_to_load is None:
+        models_to_load = list(state.params.keys())
+
+    params = dict(state.params)
+    stats = dict(state.batch_stats)
+    for name in models_to_load:
+        params[name] = restored["params"][name]
+        stats[name] = restored["batch_stats"][name]
+
+    opt_state = state.opt_state
+    step = state.step
+    if load_optimizer:
+        try:
+            opt_state = restored["opt_state"]
+            step = restored["step"]
+        except (KeyError, TypeError):  # pragma: no cover - graceful fallback
+            pass
+    return TrainState(step, params, stats, opt_state)

@@ -1,0 +1,281 @@
+"""Model orchestration: one pure forward/loss pipeline over the batch dict.
+
+The TPU-native equivalent of the reference ``VFDepthAlgo``
+(``models/vfdepth.py:191-320``): predict canonical pose, predict disparity
+via the voxel fusion net, convert to metric depth, render every warped view,
+and aggregate the photometric losses — all inside one jit-able function, so
+a training step is a single compiled XLA program (forward + backward + adam).
+
+Model selection mirrors reference ``models/vfdepth.py:73-83``:
+``depth_model``/``pose_model`` in {'fusion', 'fsm'} ('fsm' = Full Surround
+Monodepth baseline -> Monodepth2-style per-camera nets).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..models import (
+    FusedDepthNet,
+    FusedPoseNet,
+    MonoDepthNet,
+    MonoPoseNet,
+    augment_extrinsics,
+    pack_cam_feat,
+    unpack_cam_feat,
+)
+from ..geometry import vec_to_matrix, distribute_pose, relative_cam_poses, invert_pose
+from ..geometry.view_rendering import render_views, RenderOutputs
+from ..losses import LossConfig, total_loss
+from ..ops.resize import resize_bilinear
+
+
+def loss_config_from(cfg: Config) -> LossConfig:
+    return LossConfig(
+        frame_ids=tuple(cfg.frame_ids),
+        scales=tuple(cfg.scales),
+        disparity_smoothness=cfg.disparity_smoothness,
+        spatio_coeff=cfg.spatio_coeff,
+        spatio_tempo_coeff=cfg.spatio_tempo_coeff,
+        pose_loss_coeff=cfg.pose_loss_coeff,
+        depth_con_coeff=cfg.get("depth_con_coeff", 0.03),
+        depth_sm_coeff=cfg.get("depth_sm_coeff", 0.05),
+        spatio=cfg.spatio,
+        spatio_temporal=cfg.spatio_temporal,
+        aug_depth=cfg.aug_depth,
+        pose_model=cfg.pose_model,
+    )
+
+
+class VFDepthModel:
+    """Builds the networks from a Config and exposes pure init/forward fns.
+
+    Not an nn.Module itself — it owns two flax modules (depth_net, pose_net)
+    and the static geometry/loss configuration, mirroring the reference's
+    ``models`` dict (vfdepth.py:56-71) but with explicit functional state.
+    """
+
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.loss_cfg = loss_config_from(cfg)
+        self.frame_ids = tuple(cfg.frame_ids)
+        self.scales = tuple(cfg.scales)
+        self.num_cams = cfg.num_cams
+        self.height = cfg.height
+        self.width = cfg.width
+        self.fusion_level = cfg.fusion_level
+        self.rel_cam = jnp.asarray(cfg.rel_cam_array)
+        self.aug_depth = bool(cfg.aug_depth)
+        self.aug_angle = tuple(cfg.get("aug_angle", (15.0, 15.0, 40.0)))
+        self.min_depth = cfg.min_depth
+        self.max_depth = cfg.max_depth
+        self.focal_length_scale = cfg.focal_length_scale
+        self.intensity_align = cfg.intensity_align
+
+        vox_kwargs = dict(
+            voxel_str_p=tuple(cfg.voxel_str_p),
+            voxel_unit_size=tuple(cfg.voxel_unit_size),
+            voxel_size=tuple(cfg.voxel_size),
+            proj_d_bins=cfg.proj_d_bins,
+            proj_d_str=cfg.proj_d_str,
+            proj_d_end=cfg.proj_d_end,
+            num_cams=cfg.num_cams,
+            height=cfg.height,
+            width=cfg.width,
+            fusion_level=cfg.fusion_level,
+        )
+        if cfg.depth_model == "fusion":
+            self.depth_net = FusedDepthNet(
+                num_layers=cfg.num_layers,
+                fusion_feat_in_dim=cfg.fusion_feat_in_dim,
+                use_skips=cfg.use_skips,
+                scales=tuple(cfg.scales),
+                voxel_pre_dim=tuple(cfg.voxel_pre_dim),
+                overlap_groups=cfg.overlap_groups,
+                **vox_kwargs,
+            )
+        else:
+            self.depth_net = MonoDepthNet(num_layers=cfg.num_layers,
+                                          scales=tuple(cfg.scales))
+        if cfg.pose_model == "fusion":
+            self.pose_net = FusedPoseNet(
+                num_layers=cfg.num_layers,
+                fusion_feat_in_dim=cfg.fusion_feat_in_dim,
+                **{k: v for k, v in vox_kwargs.items()},
+            )
+        else:
+            self.pose_net = MonoPoseNet(num_layers=cfg.num_layers)
+
+    # ------------------------------------------------------------------
+    def init(self, rng: jax.Array, batch: Dict[str, jnp.ndarray]):
+        """Initialize parameters + batch-norm state for both networks."""
+        r1, r2 = jax.random.split(rng)
+        fusion_k = f"K/{self.fusion_level + 1}"
+        fusion_ik = f"inv_K/{self.fusion_level + 1}"
+        if isinstance(self.depth_net, FusedDepthNet):
+            dvars = self.depth_net.init(
+                r1, batch["color_aug/0/0"], batch["mask"], batch[fusion_k],
+                batch[fusion_ik], batch["extrinsics"], batch["extrinsics_inv"],
+                extrinsics_aug=batch["extrinsics"] if self.aug_depth else None,
+                train=False)
+        else:
+            dvars = self.depth_net.init(r1, pack_cam_feat(batch["color_aug/0/0"]),
+                                        train=False)
+        f_next = self.frame_ids[1] if len(self.frame_ids) > 1 else 0
+        if isinstance(self.pose_net, FusedPoseNet):
+            pvars = self.pose_net.init(
+                r2, batch["color_aug/0/0"], batch[f"color_aug/{f_next}/0"],
+                batch["mask"], batch[fusion_k], batch[fusion_ik],
+                batch["extrinsics"], batch["extrinsics_inv"], train=False)
+        else:
+            pvars = self.pose_net.init(
+                r2, pack_cam_feat(batch["color_aug/0/0"]),
+                pack_cam_feat(batch[f"color_aug/{f_next}/0"]), train=False)
+
+        params = {"depth_net": dvars["params"], "pose_net": pvars["params"]}
+        batch_stats = {"depth_net": dvars.get("batch_stats", {}),
+                       "pose_net": pvars.get("batch_stats", {})}
+        return params, batch_stats
+
+    # ------------------------------------------------------------------
+    def _apply(self, net, net_params, net_stats, *args, train: bool, **kwargs):
+        variables = {"params": net_params, "batch_stats": net_stats}
+        if train:
+            out, mut = net.apply(variables, *args, train=True, mutable=["batch_stats"], **kwargs)
+            return out, mut["batch_stats"]
+        return net.apply(variables, *args, train=False, **kwargs), net_stats
+
+    def predict_pose(self, params, stats, batch, train: bool):
+        """Per-camera cam_T_cam for every context frame.
+
+        Temporal ordering discipline matches reference ``Pose.get_single_pose``
+        (pose.py:32-42): pairs are always passed in time order and the
+        past-frame pose is inverted.
+        Returns (cam_t_cam [b, cams, n_ctx, 4, 4], new_stats).
+        """
+        fusion_k = f"K/{self.fusion_level + 1}"
+        fusion_ik = f"inv_K/{self.fusion_level + 1}"
+        new_stats = stats
+        mats = []
+        for f in self.frame_ids[1:]:
+            a, b_ = (f, 0) if f < 0 else (0, f)
+            cur = batch[f"color_aug/{a}/0"]
+            nxt = batch[f"color_aug/{b_}/0"]
+            if isinstance(self.pose_net, FusedPoseNet):
+                (axisangle, translation), new_stats = self._apply(
+                    self.pose_net, params, new_stats, cur, nxt,
+                    batch["mask"], batch[fusion_k], batch[fusion_ik],
+                    batch["extrinsics"], batch["extrinsics_inv"], train=train)
+                canon = vec_to_matrix(axisangle[:, 0, 0], translation[:, 0, 0],
+                                      invert=(f < 0))  # [b, 4, 4]
+                mats.append(distribute_pose(canon, batch["extrinsics"],
+                                            batch["extrinsics_inv"]))
+            else:
+                bsz, cams = cur.shape[:2]
+                (axisangle, translation), new_stats = self._apply(
+                    self.pose_net, params, new_stats,
+                    pack_cam_feat(cur), pack_cam_feat(nxt), train=train)
+                mat = vec_to_matrix(axisangle[:, 0, 0], translation[:, 0, 0],
+                                    invert=(f < 0))
+                mats.append(unpack_cam_feat(mat, bsz, cams))
+        return jnp.stack(mats, axis=2), new_stats  # [b, cams, n_ctx, 4, 4]
+
+    def predict_depth(self, params, stats, batch, rng, train: bool):
+        """Disparity maps (+ aug branch). Returns (disps, disps_aug,
+        extrinsics_aug, new_stats)."""
+        fusion_k = f"K/{self.fusion_level + 1}"
+        fusion_ik = f"inv_K/{self.fusion_level + 1}"
+        extrinsics_aug = None
+        if isinstance(self.depth_net, FusedDepthNet):
+            if self.aug_depth:
+                extrinsics_aug = augment_extrinsics(rng, batch["extrinsics"],
+                                                    self.aug_angle)
+            out, new_stats = self._apply(
+                self.depth_net, params, stats,
+                batch["color_aug/0/0"], batch["mask"], batch[fusion_k],
+                batch[fusion_ik], batch["extrinsics"], batch["extrinsics_inv"],
+                extrinsics_aug=extrinsics_aug, train=train)
+            disps = {s: out[f"disp/{s}"] for s in self.scales}
+            disps_aug = ({s: out[f"disp/{s}/aug"] for s in self.scales}
+                         if self.aug_depth else None)
+        else:
+            bsz, cams = batch["color_aug/0/0"].shape[:2]
+            out, new_stats = self._apply(
+                self.depth_net, params, stats,
+                pack_cam_feat(batch["color_aug/0/0"]), train=train)
+            disps = {s: unpack_cam_feat(out[f"disp/{s}"], bsz, cams)
+                     for s in self.scales}
+            disps_aug = None
+        return disps, disps_aug, extrinsics_aug, new_stats
+
+    def to_depth(self, disp: jnp.ndarray, k0: jnp.ndarray) -> jnp.ndarray:
+        """Disparity -> metric depth (reference vfdepth.py:277-288).
+
+        depth = 1 / (1/max_d + (1/min_d - 1/max_d) * disp), bilinearly
+        upsampled to full resolution (align_corners=False), scaled by
+        fx / focal_length_scale — the metric-scale mechanism.
+        """
+        min_disp = 1.0 / self.max_depth
+        max_disp = 1.0 / self.min_depth
+        disp_full = resize_bilinear(disp, (self.height, self.width),
+                                    align_corners=False)
+        depth = 1.0 / (min_disp + (max_disp - min_disp) * disp_full)
+        fx = k0[..., 0:1, 0:1]  # [b, cams, 1, 1]
+        return depth * fx[..., None] / self.focal_length_scale
+
+    # ------------------------------------------------------------------
+    def forward(self, params, stats, batch, rng, train: bool = True):
+        """Full pipeline -> (outputs, (loss, logs), new_stats)."""
+        rng_noise, rng_aug = jax.random.split(rng)
+
+        if "extrinsics_inv" not in batch:
+            batch = dict(batch)
+            batch["extrinsics_inv"] = invert_pose(batch["extrinsics"])
+
+        cam_t_cam, pstats = self.predict_pose(params["pose_net"],
+                                              stats["pose_net"], batch, train)
+        disps, disps_aug, extrinsics_aug, dstats = self.predict_depth(
+            params["depth_net"], stats["depth_net"], batch, rng_aug, train)
+
+        k0 = batch["K/0"]
+        depths = {s: self.to_depth(disps[s], k0) for s in self.scales}
+        depths_aug = ({s: self.to_depth(disps_aug[s], k0) for s in self.scales}
+                      if disps_aug is not None else None)
+
+        spatio_pose, st_pose = relative_cam_poses(
+            batch["extrinsics"], batch["extrinsics_inv"], cam_t_cam, self.rel_cam)
+
+        colors = {f: batch[f"color/{f}/0"] for f in self.frame_ids}
+        rendered: Dict[int, RenderOutputs] = {}
+        for s in self.scales:
+            rendered[s] = render_views(
+                colors, batch["mask"], k0, batch["inv_K/0"], depths[s],
+                cam_t_cam, spatio_pose, st_pose, self.rel_cam,
+                self.frame_ids,
+                do_intensity_align=self.intensity_align,
+                spatio=self.loss_cfg.spatio,
+                spatio_temporal=self.loss_cfg.spatio_temporal,
+                aug_depth=self.aug_depth,
+                extrinsics=batch["extrinsics"],
+                extrinsics_aug=extrinsics_aug,
+                depth_aug=depths_aug[s] if depths_aug else None,
+                min_depth=self.min_depth, max_depth=self.max_depth)
+
+        loss, logs = total_loss(rng_noise, self.loss_cfg, batch, disps, depths,
+                                cam_t_cam, rendered,
+                                disps_aug=disps_aug, depths_aug=depths_aug)
+
+        outputs = {"cam_T_cam": cam_t_cam}
+        for s in self.scales:
+            outputs[f"disp/{s}"] = disps[s]
+            outputs[f"depth/{s}"] = depths[s]
+            if disps_aug is not None:
+                outputs[f"disp/{s}/aug"] = disps_aug[s]
+                outputs[f"depth/{s}/aug"] = depths_aug[s]
+        new_stats = {"depth_net": dstats, "pose_net": pstats}
+        return outputs, (loss, logs), new_stats

@@ -1,0 +1,124 @@
+"""Compiled training / validation steps (optax + jit + GSPMD sharding).
+
+One ``train_step(state, batch, rng) -> (state, logs)`` containing the full
+pipeline — pose+depth forward, view rendering, loss, backward, Adam update —
+compiled as a single XLA program. This replaces the reference's eager
+``zero_grad -> process_batch -> backward -> step`` loop
+(``trainer/vfdepth_trainer.py:63-66``) and its per-step ``dist.barrier``.
+
+Optimizer parity (reference ``models/vfdepth.py:175-189``): one Adam over all
+networks' params, lr ``learning_rate``; StepLR(``scheduler_step_size`` epochs,
+gamma 0.1) expressed as an optax piecewise-constant schedule over steps.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.core import FrozenDict
+
+from .model import VFDepthModel
+from ..parallel.mesh import DATA_AXIS, batch_sharding, make_mesh, replicated
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def make_lr_schedule(learning_rate: float, scheduler_step_size: int,
+                     steps_per_epoch: int, gamma: float = 0.1):
+    """StepLR(step_size epochs, gamma) as an optax schedule over global steps."""
+    if steps_per_epoch <= 0:
+        return learning_rate
+    boundary = scheduler_step_size * steps_per_epoch
+    return optax.piecewise_constant_schedule(
+        learning_rate, {boundary: gamma})
+
+
+def make_optimizer(learning_rate, scheduler_step_size: int,
+                   steps_per_epoch: int) -> optax.GradientTransformation:
+    sched = make_lr_schedule(learning_rate, scheduler_step_size, steps_per_epoch)
+    return optax.adam(sched)
+
+
+def create_train_state(model: VFDepthModel, rng: jax.Array, batch,
+                       steps_per_epoch: int = 0) -> Tuple[TrainState, optax.GradientTransformation]:
+    params, batch_stats = model.init(rng, batch)
+    tx = make_optimizer(model.cfg.learning_rate,
+                        model.cfg.scheduler_step_size, steps_per_epoch)
+    opt_state = tx.init(params)
+    return TrainState(jnp.zeros((), jnp.int32), params, batch_stats, opt_state), tx
+
+
+def build_train_step(model: VFDepthModel, tx: optax.GradientTransformation,
+                     donate: bool = True):
+    """Returns jitted train_step(state, batch, rng) -> (state, logs)."""
+
+    def train_step(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            outputs, (loss, logs), new_stats = model.forward(
+                params, state.batch_stats, batch, rng, train=True)
+            return loss, (logs, new_stats)
+
+        grads, (logs, new_stats) = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        scalar_logs = {k: v for k, v in logs.items()
+                       if hasattr(v, "ndim") and v.ndim == 0}
+        new_state = TrainState(state.step + 1, new_params, new_stats, new_opt)
+        return new_state, scalar_logs
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def build_eval_step(model: VFDepthModel):
+    """Returns jitted eval_step(state, batch, rng) -> (outputs, logs)."""
+
+    def eval_step(state: TrainState, batch, rng):
+        outputs, (loss, logs), _ = model.forward(
+            state.params, state.batch_stats, batch, rng, train=False)
+        return outputs, {k: v for k, v in logs.items()
+                         if hasattr(v, "ndim") and v.ndim == 0}
+
+    return jax.jit(eval_step)
+
+
+def shard_train_step(model: VFDepthModel, tx, mesh=None):
+    """jit the train step with explicit GSPMD shardings over a data mesh.
+
+    Batch arrays shard on their leading axis; state is replicated. XLA
+    inserts the gradient all-reduce over ICI (the DDP equivalent).
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    repl = replicated(mesh)
+    bsh = batch_sharding(mesh)
+
+    def train_step(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            outputs, (loss, logs), new_stats = model.forward(
+                params, state.batch_stats, batch, rng, train=True)
+            return loss, (logs, new_stats)
+
+        grads, (logs, new_stats) = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        scalar_logs = {k: v for k, v in logs.items()
+                       if hasattr(v, "ndim") and v.ndim == 0}
+        return TrainState(state.step + 1, new_params, new_stats, new_opt), scalar_logs
+
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, bsh, repl),
+        out_shardings=(repl, repl),
+    ), mesh

@@ -1,0 +1,159 @@
+"""Host-side training / evaluation loop.
+
+The TPU-native equivalent of the reference ``VFDepthTrainer``
+(``trainer/vfdepth_trainer.py``): epoch/step loop with the same logging
+cadence, periodic single-batch validation (cycled iterator — the reference's
+``next(self.val_iter)`` StopIterations at exhaustion, SURVEY.md §2.1), per-
+epoch checkpoints, and full evaluation with metric + median-scaled depth
+metrics. Differences by design:
+  * the compiled ``train_step`` contains fwd+bwd+Adam — no zero_grad/backward
+    staging, no per-step barriers (collectives synchronize);
+  * the LR schedule lives inside the optimizer (optax), stepped per-step;
+  * data feeding is a prefetching host pipeline (``data/loader.py``).
+"""
+from __future__ import annotations
+
+import itertools
+import time
+from typing import Any, Dict, Iterable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .model import VFDepthModel
+from .step import TrainState, build_eval_step, build_train_step, create_train_state
+from .checkpoint import load_checkpoint, save_checkpoint
+from ..utils.logger import Logger
+from ..utils.metrics import METRIC_NAMES, compute_depth_metrics
+
+
+class Trainer:
+    def __init__(self, cfg, model: VFDepthModel, use_tb: bool = True):
+        self.cfg = cfg
+        self.model = model
+        self.num_epochs = cfg.num_epochs
+        self.logger = Logger(cfg, use_tb)
+        self.depth_metric_names = METRIC_NAMES
+
+    # ------------------------------------------------------------------
+    def learn(self, train_loader, val_loader=None, state: Optional[TrainState] = None,
+              steps_per_epoch: Optional[int] = None, seed: int = 42,
+              max_steps: Optional[int] = None):
+        """Full training run. ``train_loader``/``val_loader`` yield numpy
+        batch dicts (already collated, NHWC)."""
+        rng = jax.random.PRNGKey(seed)
+        first = None
+        train_iter = iter(train_loader)
+        first = next(train_iter)
+        train_iter = itertools.chain([first], train_iter)
+
+        spe = steps_per_epoch if steps_per_epoch is not None else getattr(
+            train_loader, "steps_per_epoch", 0)
+        if state is None:
+            state, tx = create_train_state(
+                self.model, rng, jax.tree_util.tree_map(jnp.asarray, first),
+                steps_per_epoch=spe)
+        else:
+            _, tx = create_train_state(
+                self.model, rng, jax.tree_util.tree_map(jnp.asarray, first),
+                steps_per_epoch=spe)
+
+        if self.cfg.get("pretrain", False):
+            state = load_checkpoint(self.cfg.load_weights_dir, state,
+                                    self.cfg.models_to_load, load_optimizer=True)
+
+        train_step = build_train_step(self.model, tx)
+        eval_step = build_eval_step(self.model) if val_loader is not None else None
+        val_iter = iter(val_loader) if val_loader is not None else None
+
+        step = int(state.step)
+        start_time = time.time()
+        for epoch in range(self.num_epochs):
+            epoch_iter = train_iter if epoch == 0 else iter(train_loader)
+            for batch_idx, batch in enumerate(epoch_iter):
+                before = time.time()
+                batch = jax.tree_util.tree_map(jnp.asarray, batch)
+                state, logs = train_step(state, batch, rng)
+
+                if self.logger.is_checkpoint(step):
+                    logs = {k: float(v) for k, v in logs.items()}
+                    self.logger.log_time(epoch, batch_idx, time.time() - before,
+                                         logs.get("total_loss", float("nan")),
+                                         start_time)
+                    self.logger.log_scalars("train", logs, step)
+                    if val_iter is not None:
+                        val_iter = self._validate(eval_step, state, val_loader,
+                                                  val_iter, rng, step)
+                step += 1
+                if max_steps is not None and step >= max_steps:
+                    break
+
+            save_checkpoint(self.cfg.save_weights_root, epoch, state)
+            print("-" * 110)
+            if max_steps is not None and step >= max_steps:
+                break
+        self.logger.close()
+        return state
+
+    def _validate(self, eval_step, state, val_loader, val_iter, rng, step):
+        """Single-batch validation at log checkpoints; cycles the iterator."""
+        try:
+            batch = next(val_iter)
+        except StopIteration:
+            val_iter = iter(val_loader)
+            batch = next(val_iter)
+        jbatch = jax.tree_util.tree_map(jnp.asarray, batch)
+        outputs, logs = eval_step(state, jbatch, rng)
+        logs = {k: float(v) for k, v in logs.items()}
+        if "depth" in batch:
+            metric, median, med_scale = compute_depth_metrics(
+                np.asarray(batch["depth"]), np.asarray(outputs["depth/0"]),
+                np.asarray(batch["mask"]),
+                self.cfg.eval_min_depth, self.cfg.eval_max_depth)
+            print(f"          | median scale = {med_scale}")
+            self.logger.print_perf(metric, "metric")
+            self.logger.print_perf(median, "median")
+        self.logger.log_scalars("val", logs, step)
+        self.logger.log_images("val",
+                               batch,
+                               {k: np.asarray(v) for k, v in outputs.items()
+                                if hasattr(v, "shape")},
+                               step)
+        return val_iter
+
+    # ------------------------------------------------------------------
+    def evaluate(self, eval_loader, state: TrainState, vis_results: bool = False,
+                 load_weights: bool = True, seed: int = 42):
+        """Full-dataset evaluation (reference ``evaluate``:112-152)."""
+        rng = jax.random.PRNGKey(seed)
+        if load_weights:
+            state = load_checkpoint(self.cfg.load_weights_dir, state,
+                                    self.cfg.models_to_load, load_optimizer=False)
+        eval_step = build_eval_step(self.model)
+
+        avg_metric = {k: 0.0 for k in METRIC_NAMES}
+        avg_median = {k: 0.0 for k in METRIC_NAMES}
+        n_batches = 0
+        for batch_idx, batch in enumerate(eval_loader):
+            jbatch = jax.tree_util.tree_map(jnp.asarray, batch)
+            outputs, _ = eval_step(state, jbatch, rng)
+            metric, median, _ = compute_depth_metrics(
+                np.asarray(batch["depth"]), np.asarray(outputs["depth/0"]),
+                np.asarray(batch["mask"]),
+                self.cfg.eval_min_depth, self.cfg.eval_max_depth)
+            for k in METRIC_NAMES:
+                avg_metric[k] += metric[k]
+                avg_median[k] += median[k]
+            n_batches += 1
+            if vis_results:
+                self.logger.log_result(
+                    {k: np.asarray(v) for k, v in outputs.items()}, batch_idx)
+
+        for k in METRIC_NAMES:
+            avg_metric[k] /= max(n_batches, 1)
+            avg_median[k] /= max(n_batches, 1)
+        print("Evaluation result...\n")
+        self.logger.print_perf(avg_metric, "metric")
+        self.logger.print_perf(avg_median, "median")
+        return avg_metric, avg_median

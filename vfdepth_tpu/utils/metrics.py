@@ -1,0 +1,80 @@
+"""Depth evaluation metrics (reference ``utils/misc.py:85-98`` +
+``utils/logger.py:193-247`` semantics).
+
+The masked-median scaling over variable-size valid sets is done host-side in
+numpy (SURVEY.md §7 hard part 3) — eval is not throughput-critical and this
+preserves the reference's bit-level masking logic.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+METRIC_NAMES = ["abs_rel", "sq_rel", "rms", "log_rms", "a1", "a2", "a3"]
+
+
+def cal_depth_error(pred: np.ndarray, target: np.ndarray) -> Tuple[float, ...]:
+    """abs_rel, sq_rel, rmse, rmse_log, delta<1.25/1.25^2/1.25^3."""
+    abs_rel = np.mean(np.abs(pred - target) / target)
+    sq_rel = np.mean((pred - target) ** 2 / target)
+    rmse = np.sqrt(np.mean((pred - target) ** 2))
+    rmse_log = np.sqrt(np.mean((np.log(target) - np.log(pred)) ** 2))
+    thresh = np.maximum(target / pred, pred / target)
+    a1 = float((thresh < 1.25).mean())
+    a2 = float((thresh < 1.25 ** 2).mean())
+    a3 = float((thresh < 1.25 ** 3).mean())
+    return float(abs_rel), float(sq_rel), float(rmse), float(rmse_log), a1, a2, a3
+
+
+def compute_depth_metrics(
+    depth_gt: np.ndarray,       # [b, cams, H, W, 1]
+    depth_pred: np.ndarray,     # [b, cams, H, W, 1] (already full-res)
+    occ_mask: np.ndarray,       # [b, cams, H, W, 1]
+    min_eval_depth: float,
+    max_eval_depth: float,
+) -> Tuple[Dict[str, float], Dict[str, float], List[float]]:
+    """Per-camera metric + median-scaled metrics, averaged over cameras.
+
+    Mirrors reference ``Logger.compute_depth_losses``: mask =
+    (gt in (min,max)) * self-occlusion; predictions clamped to the eval
+    range; median scale = median(gt)/median(pred) per camera.
+    Returns (metric_dict, median_dict, per-camera median scales).
+    """
+    num_cams = depth_gt.shape[1]
+    metric_acc = {k: 0.0 for k in METRIC_NAMES}
+    median_acc = {k: 0.0 for k in METRIC_NAMES}
+    med_scales: List[float] = []
+
+    for cam in range(num_cams):
+        gt = depth_gt[:, cam]
+        pred = np.clip(depth_pred[:, cam], min_eval_depth, max_eval_depth)
+        mask = (gt > min_eval_depth) & (gt < max_eval_depth) & (occ_mask[:, cam] > 0)
+
+        gt_m = gt[mask]
+        pred_m = pred[mask]
+        if gt_m.size == 0:
+            med_scales.append(float("nan"))
+            continue
+
+        scale = float(np.median(gt_m) / np.median(pred_m))
+        med_scales.append(round(scale, 2))
+
+        pred_metric = np.clip(pred_m, min_eval_depth, max_eval_depth)
+        for k, v in zip(METRIC_NAMES, cal_depth_error(pred_metric, gt_m)):
+            metric_acc[k] += v
+        pred_median = np.clip(pred_m * scale, min_eval_depth, max_eval_depth)
+        for k, v in zip(METRIC_NAMES, cal_depth_error(pred_median, gt_m)):
+            median_acc[k] += v
+
+    for k in METRIC_NAMES:
+        metric_acc[k] /= num_cams
+        median_acc[k] /= num_cams
+    return metric_acc, median_acc, med_scales
+
+
+def pretty_ts(ts: float) -> str:
+    second = int(ts)
+    minute = second // 60
+    hour = minute // 60
+    return f"{hour:02d}h{minute % 60:02d}m{second % 60:02d}s"
