@@ -1,0 +1,102 @@
+"""Benchmark: 6-camera training steps/sec on one TPU chip.
+
+Runs the full compiled training step (fusion depth + pose nets, voxel
+fusion, view rendering, losses, backward, Adam) on DDAD-shaped inputs
+(6 cams, 384x640 — reference configs/ddad/ddad_surround_fusion.yaml) and
+prints ONE JSON line.
+
+Baseline note: the reference publishes no throughput numbers. The
+``vs_baseline`` ratio uses an estimated 1.0 steps/s per A100 for the
+reference's torch DDP pipeline at per-GPU batch 2 (eager torch, ~50
+grid_samples + 2 ResNet18 passes per step); the north-star target from
+BASELINE.json is >= 2.0 on this metric.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+BASELINE_STEPS_PER_SEC = 1.0  # estimated A100 DDP per-GPU steps/s (batch 2)
+
+
+def main():
+    import jax
+    from vfdepth_tpu.utils.jax_setup import enable_compilation_cache
+    enable_compilation_cache()
+    import jax.numpy as jnp
+
+    from vfdepth_tpu.config import Config, get_relcam, DDAD_CAM_LIST
+    from vfdepth_tpu.data.fake import FakeDataset
+    from vfdepth_tpu.training.model import VFDepthModel
+    from vfdepth_tpu.training.step import create_train_state, build_train_step
+
+    batch_size = int(os.environ.get("BENCH_BATCH", "2"))
+    height = int(os.environ.get("BENCH_HEIGHT", "384"))
+    width = int(os.environ.get("BENCH_WIDTH", "640"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "10"))
+    use_bf16 = os.environ.get("BENCH_BF16", "1") == "1"
+
+    cameras = DDAD_CAM_LIST
+    cfg = Config({
+        "model": {
+            "num_layers": 18, "weights_init": False,
+            "depth_model": "fusion", "pose_model": "fusion",
+            "fusion_level": 2, "fusion_feat_in_dim": 256, "use_skips": False,
+            "voxel_unit_size": [1.0, 1.0, 1.5], "voxel_size": [100, 100, 20],
+            "voxel_str_p": [-50.0, -50.0, -15.0], "voxel_pre_dim": [64],
+            "proj_d_bins": 50, "proj_d_str": 2, "proj_d_end": 50,
+            "mode": "train",
+        },
+        "data": {"cameras": cameras, "num_cams": 6,
+                 "rel_cam_list": get_relcam(cameras)},
+        "training": {
+            "height": height, "width": width, "scales": [0],
+            "frame_ids": [0, -1, 1], "batch_size": batch_size,
+            "min_depth": 1.5, "max_depth": 200.0,
+            "spatio": True, "spatio_temporal": True, "intensity_align": True,
+            "focal_length_scale": 300, "aug_depth": False,
+            "aug_angle": [15, 15, 40], "learning_rate": 1e-4,
+            "num_epochs": 20, "scheduler_step_size": 15,
+        },
+        "loss": {"disparity_smoothness": 0.001, "spatio_coeff": 0.03,
+                 "spatio_tempo_coeff": 0.1, "pose_loss_coeff": 0.0},
+        "eval": {"eval_batch_size": 1, "eval_min_depth": 0,
+                 "eval_max_depth": 200, "eval_visualize": False,
+                 "syn_visualize": False, "syn_idx": 0},
+        "tpu": {"mixed_precision": use_bf16},
+    })
+
+    model = VFDepthModel(cfg)
+    ds = FakeDataset(num_samples=batch_size, num_cams=6, height=height,
+                     width=width, fusion_level=2)
+    batch = {k: jnp.asarray(v) for k, v in
+             ds.batch(list(range(batch_size))).items()}
+
+    rng = jax.random.PRNGKey(0)
+    state, tx = create_train_state(model, rng, batch, steps_per_epoch=1000)
+    train_step = build_train_step(model, tx)
+
+    # compile + warmup
+    state, logs = train_step(state, batch, rng)
+    jax.block_until_ready(logs["total_loss"])
+    t0 = time.time()
+    for _ in range(n_steps):
+        state, logs = train_step(state, batch, rng)
+    jax.block_until_ready(logs["total_loss"])
+    dt = (time.time() - t0) / n_steps
+
+    steps_per_sec = 1.0 / dt
+    print(json.dumps({
+        "metric": "6cam_train_steps_per_sec_per_chip",
+        "value": round(steps_per_sec, 4),
+        "unit": f"steps/s (batch {batch_size}, 6 cams, {height}x{width})",
+        "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

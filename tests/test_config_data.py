@@ -1,0 +1,108 @@
+"""Config loader + data contract/pipeline tests."""
+import os
+
+import numpy as np
+import pytest
+
+from vfdepth_tpu.config import get_config, get_relcam, camera2ind, DDAD_CAM_LIST
+from vfdepth_tpu.data.contract import build_intrinsics_pyramid, required_keys
+from vfdepth_tpu.data.fake import FakeDataset
+from vfdepth_tpu.data.loader import BatchLoader
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_get_config_derived_keys():
+    cfg = get_config(os.path.join(REPO, "configs/ddad/ddad_surround_fusion.yaml"),
+                     mode="train")
+    assert cfg.num_cams == 6
+    assert cfg.batch_size == 2
+    assert cfg.rel_cam_list[0] == [1, 2]
+    assert cfg.rel_cam_list[5] == [3, 4]
+    assert cfg.syn_visualize is False  # train mode forces off
+    assert cfg.log_path.endswith("ddad_surround_fusion")
+    assert cfg.save_weights_root.endswith("models")
+
+
+def test_get_config_eval_overrides():
+    cfg = get_config(os.path.join(REPO, "configs/ddad/ddad_surround_fusion.yaml"),
+                     mode="eval", weight_path="/tmp/w")
+    assert cfg.batch_size == cfg.eval_batch_size
+    assert cfg.world_size == 1
+    assert cfg.load_weights_dir == "/tmp/w"
+    assert cfg.depth_flip is False
+
+
+def test_all_reference_configs_load():
+    for sub in ("ddad", "nuscenes"):
+        d = os.path.join(REPO, "configs", sub)
+        for name in os.listdir(d):
+            cfg = get_config(os.path.join(d, name), mode="train")
+            assert cfg.num_cams == 6
+            assert cfg.depth_model in ("fusion", "fsm")
+
+
+def test_relcam_partial_rig():
+    rel = get_relcam(DDAD_CAM_LIST[:3])
+    assert rel[0] == [1, 2]
+    assert rel[1] == [0]   # neighbor 3 not in rig
+    assert rel[2] == [0]
+
+
+def test_camera2ind_nuscenes():
+    assert camera2ind(["CAM_FRONT", "CAM_BACK"]) == [0, 5]
+
+
+def test_intrinsics_pyramid():
+    k = np.eye(4, dtype=np.float32)[None]
+    k[0, 0, 0] = 100.0
+    k[0, 1, 1] = 100.0
+    k[0, 0, 2] = 50.0
+    k[0, 1, 2] = 25.0
+    pyr = build_intrinsics_pyramid(k, 3)
+    assert pyr["K/0"][0, 0, 0] == 100.0
+    assert pyr["K/2"][0, 0, 0] == 25.0
+    assert pyr["K/2"][0, 0, 2] == 12.5
+    np.testing.assert_allclose(pyr["inv_K/1"][0] @ pyr["K/1"][0], np.eye(4),
+                               atol=1e-5)
+
+
+def test_fake_dataset_contract():
+    ds = FakeDataset(num_samples=4, num_cams=6, height=64, width=96,
+                     fusion_level=2, with_depth=True)
+    sample = ds[0]
+    for key in required_keys((0, -1, 1), 2, with_depth=True):
+        assert key in sample, f"missing {key}"
+    assert sample["color/0/0"].shape == (6, 64, 96, 3)
+    assert sample["color/0/3"].shape == (6, 8, 12, 3)
+    assert sample["mask"].shape == (6, 64, 96, 1)
+    assert sample["depth"].shape == (6, 64, 96, 1)
+    np.testing.assert_allclose(
+        sample["extrinsics"] @ sample["extrinsics_inv"],
+        np.tile(np.eye(4, dtype=np.float32), (6, 1, 1)), atol=1e-5)
+    # deterministic
+    s2 = ds[0]
+    np.testing.assert_array_equal(sample["color/0/0"], s2["color/0/0"])
+
+
+def test_batch_loader_shapes_and_order():
+    ds = FakeDataset(num_samples=10, num_cams=3, height=32, width=64,
+                     fusion_level=2)
+    loader = BatchLoader(ds, batch_size=4, shuffle=True, num_workers=2, seed=1)
+    batches = list(loader)
+    assert len(batches) == 2  # drop_last
+    assert batches[0]["color/0/0"].shape == (4, 3, 32, 64, 3)
+    # epoch reshuffle changes order deterministically
+    loader.set_epoch(1)
+    b2 = list(loader)
+    assert len(b2) == 2
+
+
+def test_batch_loader_sharding():
+    ds = FakeDataset(num_samples=16, num_cams=3, height=32, width=64)
+    l0 = BatchLoader(ds, 2, shuffle=False, shard_index=0, num_shards=2)
+    l1 = BatchLoader(ds, 2, shuffle=False, shard_index=1, num_shards=2)
+    assert l0.steps_per_epoch == 4 and l1.steps_per_epoch == 4
+    b0 = next(iter(l0))
+    b1 = next(iter(l1))
+    assert not np.array_equal(b0["color/0/0"], b1["color/0/0"])

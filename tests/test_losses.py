@@ -1,0 +1,93 @@
+"""Loss-primitive golden tests vs independent torch formulations."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as F
+
+from vfdepth_tpu.losses import (
+    ssim_loss,
+    photometric_loss,
+    edge_aware_smoothness,
+    masked_mean,
+    auto_mask,
+    mean_normalized_disp,
+)
+
+
+def _rand(shape, seed, lo=0.0, hi=1.0):
+    return np.random.RandomState(seed).uniform(lo, hi, shape).astype(np.float32)
+
+
+def _torch_ssim(pred, target):
+    """Independent torch SSIM with 3x3 mean pooling + reflect padding."""
+    pred = F.pad(pred, (1, 1, 1, 1), mode="reflect")
+    target = F.pad(target, (1, 1, 1, 1), mode="reflect")
+    mu_p = F.avg_pool2d(pred, 3, 1)
+    mu_t = F.avg_pool2d(target, 3, 1)
+    sig_p = F.avg_pool2d(pred ** 2, 3, 1) - mu_p ** 2
+    sig_t = F.avg_pool2d(target ** 2, 3, 1) - mu_t ** 2
+    sig_pt = F.avg_pool2d(pred * target, 3, 1) - mu_p * mu_t
+    c1, c2 = 0.01 ** 2, 0.03 ** 2
+    num = (2 * mu_p * mu_t + c1) * (2 * sig_pt + c2)
+    den = (mu_p ** 2 + mu_t ** 2 + c1) * (sig_p + sig_t + c2) + 1e-8
+    return torch.clamp((1 - num / den) / 2, 0, 1)
+
+
+def test_ssim_matches_torch():
+    pred = _rand((2, 8, 10, 3), 0)
+    target = _rand((2, 8, 10, 3), 1)
+    got = np.asarray(ssim_loss(jnp.asarray(pred), jnp.asarray(target)))
+    want = _torch_ssim(torch.from_numpy(pred).permute(0, 3, 1, 2),
+                       torch.from_numpy(target).permute(0, 3, 1, 2))
+    want = want.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_photometric_loss_weights():
+    pred = _rand((1, 6, 6, 3), 2)
+    target = _rand((1, 6, 6, 3), 3)
+    got = np.asarray(photometric_loss(jnp.asarray(pred), jnp.asarray(target)))
+    l1 = np.abs(target - pred).mean(-1, keepdims=True)
+    ssim = np.asarray(ssim_loss(jnp.asarray(pred), jnp.asarray(target))).mean(-1, keepdims=True)
+    np.testing.assert_allclose(got, 0.85 * ssim + 0.15 * l1, atol=1e-6)
+    assert got.shape == (1, 6, 6, 1)
+
+
+def test_smoothness_zero_for_constant_disp():
+    rgb = _rand((1, 8, 8, 3), 4)
+    disp = jnp.full((1, 8, 8, 1), 0.3)
+    assert float(edge_aware_smoothness(jnp.asarray(rgb), disp)) < 1e-7
+
+
+def test_smoothness_edge_weighting():
+    """Disparity gradients across strong image edges are discounted."""
+    rgb_flat = jnp.zeros((1, 4, 4, 3))
+    rgb_edge = jnp.concatenate([jnp.zeros((1, 4, 2, 3)), jnp.ones((1, 4, 2, 3))], axis=2)
+    disp = jnp.concatenate([jnp.zeros((1, 4, 2, 1)), jnp.ones((1, 4, 2, 1))], axis=2)
+    l_flat = float(edge_aware_smoothness(rgb_flat, disp))
+    l_edge = float(edge_aware_smoothness(rgb_edge, disp))
+    assert l_edge < l_flat
+
+
+def test_masked_mean():
+    loss = jnp.asarray([[1.0, 2.0], [3.0, 4.0]])
+    mask = jnp.asarray([[1.0, 0.0], [1.0, 0.0]])
+    np.testing.assert_allclose(float(masked_mean(loss, mask)), 2.0, atol=1e-6)
+    # empty mask -> 0 (epsilon guard), not NaN
+    assert float(masked_mean(loss, jnp.zeros_like(mask))) == 0.0
+
+
+def test_auto_mask_semantics():
+    """Mask is 1 exactly where reprojection beats identity (argmin==0)."""
+    reproj = jnp.asarray([0.1, 0.5, 0.3])
+    ident = jnp.asarray([0.2, 0.4, 0.3])
+    got = np.asarray(auto_mask(reproj, ident))
+    np.testing.assert_allclose(got, [1.0, 0.0, 0.0])
+
+
+def test_mean_normalized_disp():
+    disp = _rand((2, 4, 4, 1), 5, 0.1, 0.9)
+    got = np.asarray(mean_normalized_disp(jnp.asarray(disp)))
+    want = disp / (disp.mean(axis=(1, 2), keepdims=True) + 1e-8)
+    np.testing.assert_allclose(got, want, atol=1e-6)

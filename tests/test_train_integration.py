@@ -1,0 +1,146 @@
+"""End-to-end training integration: micro config, real train step, SPMD.
+
+These compile small-but-complete XLA programs on CPU — the slowest tests in
+the suite (minutes). They are the rebuild's substitute for the reference's
+untestable manual-GPU validation (SURVEY.md §4).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vfdepth_tpu.config import Config, get_relcam, DDAD_CAM_LIST
+from vfdepth_tpu.data.fake import FakeDataset
+from vfdepth_tpu.training.model import VFDepthModel
+from vfdepth_tpu.training.step import create_train_state, build_train_step
+
+
+def micro_config(depth_model="fusion", pose_model="fusion", num_cams=3,
+                 height=32, width=64):
+    cameras = DDAD_CAM_LIST[:num_cams]
+    return Config({
+        "model": {
+            "num_layers": 18, "weights_init": False,
+            "depth_model": depth_model, "pose_model": pose_model,
+            "fusion_level": 2, "fusion_feat_in_dim": 16, "use_skips": False,
+            "voxel_unit_size": [8.0, 8.0, 6.0], "voxel_size": [12, 12, 4],
+            "voxel_str_p": [-44.0, -44.0, -9.0], "voxel_pre_dim": [8],
+            "proj_d_bins": 6, "proj_d_str": 2, "proj_d_end": 50, "mode": "train",
+        },
+        "data": {"cameras": cameras, "num_cams": num_cams,
+                 "rel_cam_list": get_relcam(cameras)},
+        "training": {
+            "height": height, "width": width, "scales": [0],
+            "frame_ids": [0, -1, 1], "batch_size": 1,
+            "min_depth": 1.5, "max_depth": 200.0,
+            "spatio": True, "spatio_temporal": True, "intensity_align": True,
+            "focal_length_scale": 300, "aug_depth": False,
+            "aug_angle": [15, 15, 40], "learning_rate": 1e-3,
+            "num_epochs": 1, "scheduler_step_size": 15,
+        },
+        "loss": {"disparity_smoothness": 0.001, "spatio_coeff": 0.03,
+                 "spatio_tempo_coeff": 0.1, "pose_loss_coeff": 0.0},
+        "eval": {"eval_batch_size": 1, "eval_min_depth": 0, "eval_max_depth": 200,
+                 "eval_visualize": False, "syn_visualize": False, "syn_idx": 0},
+    })
+
+
+def _batch(cfg, batch_size=1):
+    ds = FakeDataset(num_samples=batch_size, num_cams=cfg.num_cams,
+                     height=cfg.height, width=cfg.width,
+                     fusion_level=cfg.fusion_level)
+    return {k: jnp.asarray(v) for k, v in ds.batch(list(range(batch_size))).items()}
+
+
+@pytest.mark.slow
+def test_train_step_decreases_loss():
+    cfg = micro_config()
+    model = VFDepthModel(cfg)
+    batch = _batch(cfg)
+    rng = jax.random.PRNGKey(0)
+    state, tx = create_train_state(model, rng, batch, steps_per_epoch=100)
+    step = build_train_step(model, tx, donate=False)
+
+    state1, logs0 = step(state, batch, rng)
+    l0 = float(logs0["total_loss"])
+    losses = []
+    for _ in range(20):
+        state1, logs = step(state1, batch, rng)
+        losses.append(float(logs["total_loss"]))
+    assert np.isfinite(l0) and all(np.isfinite(l) for l in losses)
+    assert min(losses[-5:]) < l0, f"loss did not decrease: {l0} -> {losses}"
+
+
+@pytest.mark.slow
+def test_dp_grad_equivalence():
+    """1 device x batch 2 == 2 'devices' (sharded) x batch 1: same loss.
+
+    The SPMD data-parallel step must be numerically equivalent to the
+    single-device large-batch step (psum-of-grads == full-batch grad).
+    """
+    from vfdepth_tpu.parallel.mesh import make_mesh, shard_batch
+    from vfdepth_tpu.training.step import shard_train_step
+
+    cfg = micro_config()
+    model = VFDepthModel(cfg)
+    batch = _batch(cfg, batch_size=2)
+    rng = jax.random.PRNGKey(0)
+    state, tx = create_train_state(model, rng, batch, steps_per_epoch=100)
+
+    def loss_fn(params, b):
+        _, (loss, _), _ = model.forward(params, state.batch_stats, b, rng,
+                                        train=True)
+        return loss
+
+    # single-device loss+grad on the full batch
+    g1_fn = jax.jit(jax.value_and_grad(loss_fn))
+    l1, g1 = g1_fn(state.params, batch)
+
+    # same computation with the batch sharded over 2 virtual devices — XLA
+    # inserts the cross-device reductions; results must match numerically
+    mesh = make_mesh(jax.devices()[:2])
+    from vfdepth_tpu.parallel.mesh import replicated
+    g2_fn = jax.jit(jax.value_and_grad(loss_fn),
+                    in_shardings=(replicated(mesh), None))
+    l2, g2 = g2_fn(state.params, shard_batch(mesh, batch))
+
+    np.testing.assert_allclose(float(l1), float(l2), rtol=2e-4)
+    # gradients agree (adam-step comparison would be sign(grad)-sensitive)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    flat2 = jax.tree_util.tree_leaves(g2)
+    for a, b in zip(flat1, flat2):
+        scale = float(jnp.max(jnp.abs(a)))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5 + 5e-4 * scale, rtol=5e-3)
+
+
+@pytest.mark.slow
+def test_checkpoint_roundtrip(tmp_path):
+    from vfdepth_tpu.training.checkpoint import save_checkpoint, load_checkpoint
+
+    cfg = micro_config(depth_model="fsm", pose_model="fsm")
+    model = VFDepthModel(cfg)
+    batch = _batch(cfg)
+    rng = jax.random.PRNGKey(1)
+    state, tx = create_train_state(model, rng, batch, steps_per_epoch=10)
+
+    path = save_checkpoint(str(tmp_path), 0, state)
+    # fresh state with different rng
+    state2, _ = create_train_state(model, jax.random.PRNGKey(2), batch,
+                                   steps_per_epoch=10)
+    restored = load_checkpoint(path, state2)
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # partial load: depth_net only
+    partial = load_checkpoint(path, state2, models_to_load=["depth_net"],
+                              load_optimizer=False)
+    same = jax.tree_util.tree_leaves(partial.params["depth_net"])
+    want = jax.tree_util.tree_leaves(state.params["depth_net"])
+    for a, b in zip(same, want):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    diff = jax.tree_util.tree_leaves(partial.params["pose_net"])
+    other = jax.tree_util.tree_leaves(state2.params["pose_net"])
+    for a, b in zip(diff, other):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

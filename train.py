@@ -1,0 +1,57 @@
+"""Training CLI (reference ``train.py``): ``python train.py --config_file <yaml>``.
+
+Single-program SPMD: all local devices participate through the sharded train
+step; no process spawning or rendezvous (the torch-DDP launcher has no TPU
+analog — the JAX runtime owns multi-host initialization).
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(description="vfdepth_tpu training")
+    parser.add_argument("--config_file", default="./configs/ddad/ddad_surround_fusion.yaml",
+                        type=str, help="config yaml file path")
+    parser.add_argument("--max_steps", default=None, type=int,
+                        help="optional early stop (debug)")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force CPU backend (debug)")
+    return parser.parse_args()
+
+
+def train(cfg, max_steps=None):
+    from vfdepth_tpu.data.factory import construct_dataset
+    from vfdepth_tpu.data.loader import BatchLoader
+    from vfdepth_tpu.training.model import VFDepthModel
+    from vfdepth_tpu.training.trainer import Trainer
+
+    model = VFDepthModel(cfg)
+
+    train_ds = construct_dataset(cfg, "train")
+    train_loader = BatchLoader(train_ds, cfg.batch_size, shuffle=True,
+                               num_workers=cfg.get("num_workers", 2))
+    try:
+        val_ds = construct_dataset(cfg, "val")
+        val_loader = BatchLoader(val_ds, cfg.batch_size, shuffle=False,
+                                 num_workers=0)
+    except (FileNotFoundError, ValueError):
+        val_loader = None
+
+    trainer = Trainer(cfg, model)
+    trainer.learn(train_loader, val_loader, max_steps=max_steps)
+
+
+if __name__ == "__main__":
+    args = parse_args()
+    from vfdepth_tpu.utils.jax_setup import enable_compilation_cache
+    enable_compilation_cache()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    from vfdepth_tpu.config import get_config
+
+    cfg = get_config(args.config_file, mode="train")
+    train(cfg, max_steps=args.max_steps)

@@ -1,0 +1,40 @@
+"""Dataset factory (reference ``dataset/base_dataset.py:5-50``).
+
+Dispatches on ``cfg.dataset``: 'ddad' (DGP-format scene reader), 'nuscenes'
+(nuscenes-devkit-free reader), or 'fake' (in-memory synthetic — test/bench).
+Train mode applies color jitter (0.2, 0.2, 0.2, 0.05) + resize; val/eval
+resize only (reference ``models/vfdepth.py:99-138``).
+"""
+from __future__ import annotations
+
+from typing import Any
+
+from .fake import FakeDataset
+
+
+def construct_dataset(cfg, mode: str):
+    name = cfg.dataset
+    jitter = (0.2, 0.2, 0.2, 0.05) if mode == "train" else (0.0, 0.0, 0.0, 0.0)
+    common = dict(
+        height=cfg.height,
+        width=cfg.width,
+        frame_ids=tuple(cfg.frame_ids),
+        fusion_level=cfg.fusion_level,
+        with_depth=(mode != "train"),
+    )
+    if name == "fake":
+        return FakeDataset(num_samples=cfg.get("num_fake_samples", 64),
+                           num_cams=cfg.num_cams, **common)
+    if name == "ddad":
+        from .ddad import DDADDataset
+        return DDADDataset(cfg.data_path, cameras=tuple(cfg.cameras),
+                           split=("train" if mode == "train" else "val"),
+                           jitter=jitter, mask_dir=cfg.get("mask_dir"),
+                           depth_type=cfg.get("depth_type", "lidar"), **common)
+    if name == "nuscenes":
+        from .nuscenes import NuScenesDataset
+        return NuScenesDataset(cfg.data_path, cameras=tuple(cfg.cameras),
+                               split=("train" if mode == "train" else "val"),
+                               jitter=jitter, mask_dir=cfg.get("mask_dir"),
+                               **common)
+    raise ValueError(f"unknown dataset {name!r}")

@@ -71,7 +71,14 @@ class FakeDataset:
         n_scales = self.fusion_level + 2
 
         sample: Dict[str, np.ndarray] = {}
-        base = rng.rand(c, h, w, 3).astype(np.float32)
+        # smooth low-frequency images (upsampled coarse noise) so photometric
+        # warp losses carry gradient signal, unlike per-pixel noise
+        coarse = rng.rand(c, max(h // 8, 2), max(w // 8, 2), 3).astype(np.float32)
+        reps_h = -(-h // coarse.shape[1])
+        reps_w = -(-w // coarse.shape[2])
+        base = np.repeat(np.repeat(coarse, reps_h, axis=1), reps_w, axis=2)[:, :h, :w]
+        # light blur along each axis to avoid blocky gradients
+        base = 0.5 * base + 0.25 * np.roll(base, 1, axis=1) + 0.25 * np.roll(base, 1, axis=2)
         for f in self.frame_ids:
             # context frames: slightly shifted copies so photometric losses
             # have structure to latch onto

@@ -1,0 +1,146 @@
+"""Host-side image transforms: resize, color jitter, sample assembly.
+
+Reproduces the reference's data augmentation contract
+(``models/vfdepth.py:97-138``: train = jitter(0.2, 0.2, 0.2, 0.05) + resize,
+val/eval = resize only) and the per-scale pyramid assembly of
+``dataset/data_util.py:46-91``: K/inv_K and frame-0 color pyramids for scales
+0..fusion_level+1, context frames at scale 0 only.
+
+Color jitter follows torchvision semantics: factors drawn uniformly from
+[max(0, 1-b), 1+b] (brightness/contrast/saturation) and [-h, h] (hue),
+applied in random order. 'color' carries the clean image, 'color_aug' the
+jittered one (both resized).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+try:
+    import PIL.Image as pil
+    _HAS_PIL = True
+except ImportError:  # pragma: no cover
+    pil = None
+    _HAS_PIL = False
+
+from .contract import build_intrinsics_pyramid, color_key
+
+
+def resize_image(img: np.ndarray, hw: Tuple[int, int]) -> np.ndarray:
+    """Bilinear (antialiased) resize of a [H, W, 3] float image in [0, 1]."""
+    if img.shape[:2] == tuple(hw):
+        return img
+    if _HAS_PIL:
+        p = pil.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8))
+        p = p.resize((hw[1], hw[0]), pil.LANCZOS)
+        return np.asarray(p).astype(np.float32) / 255.0
+    # numpy fallback: nearest
+    ys = (np.arange(hw[0]) * img.shape[0] / hw[0]).astype(int)
+    xs = (np.arange(hw[1]) * img.shape[1] / hw[1]).astype(int)
+    return img[ys][:, xs]
+
+
+def resize_mask(mask: np.ndarray, hw: Tuple[int, int]) -> np.ndarray:
+    """Nearest resize of a [H, W] or [H, W, 1] binary mask -> [H, W, 1]."""
+    if mask.ndim == 3:
+        mask = mask[..., 0]
+    ys = np.clip((np.arange(hw[0]) * mask.shape[0] / hw[0]).astype(int), 0, mask.shape[0] - 1)
+    xs = np.clip((np.arange(hw[1]) * mask.shape[1] / hw[1]).astype(int), 0, mask.shape[1] - 1)
+    return mask[ys][:, xs][..., None].astype(np.float32)
+
+
+def _rgb_to_gray(img: np.ndarray) -> np.ndarray:
+    return (0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2])[..., None]
+
+
+def color_jitter(rng: np.random.RandomState, img: np.ndarray,
+                 brightness: float, contrast: float, saturation: float,
+                 hue: float) -> np.ndarray:
+    """Torchvision-style jitter on a [H, W, 3] float image in [0, 1]."""
+    ops = []
+    if brightness > 0:
+        f = rng.uniform(max(0.0, 1 - brightness), 1 + brightness)
+        ops.append(lambda x: x * f)
+    if contrast > 0:
+        f = rng.uniform(max(0.0, 1 - contrast), 1 + contrast)
+        ops.append(lambda x: (x - _rgb_to_gray(x).mean()) * f + _rgb_to_gray(x).mean())
+    if saturation > 0:
+        f = rng.uniform(max(0.0, 1 - saturation), 1 + saturation)
+        ops.append(lambda x: (x - _rgb_to_gray(x)) * f + _rgb_to_gray(x))
+    if hue > 0:
+        shift = rng.uniform(-hue, hue)
+
+        def hue_op(x, shift=shift):
+            # cheap HSV hue rotation
+            import colorsys  # noqa: F401  (documentational)
+            maxc = x.max(-1, keepdims=True)
+            minc = x.min(-1, keepdims=True)
+            # rotate channels approximately via YIQ rotation
+            theta = 2 * np.pi * shift
+            cos_t, sin_t = np.cos(theta), np.sin(theta)
+            tyiq = np.array([
+                [0.299, 0.587, 0.114],
+                [0.596, -0.274, -0.322],
+                [0.211, -0.523, 0.312]])
+            ityiq = np.linalg.inv(tyiq)
+            rot = np.array([[1, 0, 0], [0, cos_t, -sin_t], [0, sin_t, cos_t]])
+            m = ityiq @ rot @ tyiq
+            return x @ m.T
+
+        ops.append(hue_op)
+    order = rng.permutation(len(ops)) if ops else []
+    out = img
+    for i in order:
+        out = ops[i](out)
+    return np.clip(out, 0.0, 1.0).astype(np.float32)
+
+
+def assemble_sample(
+    rng: np.random.RandomState,
+    images: Dict[int, np.ndarray],      # frame_id -> [cams, H0, W0, 3] raw
+    k_full: np.ndarray,                 # [cams, 4, 4] at raw resolution
+    extrinsics: np.ndarray,             # [cams, 4, 4]
+    mask: np.ndarray,                   # [cams, Hm, Wm(, 1)]
+    hw: Tuple[int, int],
+    fusion_level: int,
+    jitter: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 0.0),
+    depth: Optional[np.ndarray] = None,  # [cams, H0, W0] GT (kept at raw res? resized)
+) -> Dict[str, np.ndarray]:
+    """Raw per-frame camera images -> contract batch-sample dict."""
+    h, w = hw
+    cams = k_full.shape[0]
+    raw_h, raw_w = images[0].shape[1:3]
+    n_scales = fusion_level + 2
+
+    # scale intrinsics from raw resolution to the target resolution
+    k0 = k_full.copy()
+    k0[:, 0, :] *= w / raw_w
+    k0[:, 1, :] *= h / raw_h
+
+    do_jitter = any(j > 0 for j in jitter)
+    sample: Dict[str, np.ndarray] = {}
+    for f, imgs in images.items():
+        resized = np.stack([resize_image(imgs[c], hw) for c in range(cams)])
+        sample[color_key(f, 0)] = resized
+        if do_jitter:
+            sample[color_key(f, 0, aug=True)] = np.stack(
+                [color_jitter(rng, resized[c], *jitter) for c in range(cams)])
+        else:
+            sample[color_key(f, 0, aug=True)] = resized
+    for s in range(1, n_scales):
+        hs, ws = h // (2 ** s), w // (2 ** s)
+        sample[color_key(0, s)] = np.stack(
+            [resize_image(sample[color_key(0, 0)][c], (hs, ws)) for c in range(cams)])
+        sample[color_key(0, s, aug=True)] = np.stack(
+            [resize_image(sample[color_key(0, 0, True)][c], (hs, ws)) for c in range(cams)])
+
+    sample.update(build_intrinsics_pyramid(k0, n_scales))
+    sample["extrinsics"] = extrinsics.astype(np.float32)
+    sample["extrinsics_inv"] = np.linalg.inv(extrinsics).astype(np.float32)
+    sample["mask"] = np.stack([resize_mask(mask[c], hw) for c in range(cams)])
+    if depth is not None:
+        # GT depth resized nearest (sparse lidar maps must not be interpolated)
+        sample["depth"] = np.stack(
+            [resize_mask(depth[c], hw) for c in range(cams)])
+    return sample

@@ -11,7 +11,7 @@ convs are identical.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax.numpy as jnp
 import flax.linen as nn
@@ -56,6 +56,7 @@ class ConvBlock(nn.Module):
     dilation: int = 1
     nonlin: Optional[str] = "LRU"
     norm: bool = False
+    dtype: Any = None  # compute dtype (None = infer; jnp.bfloat16 for MXU)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
@@ -68,9 +69,11 @@ class ConvBlock(nn.Module):
             kernel_dilation=(self.dilation, self.dilation),
             padding="VALID",
             use_bias=not self.norm,
+            dtype=self.dtype,
         )(x)
         if self.norm:
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype)(x)
         return _activation(self.nonlin)(x)
 
 
@@ -83,8 +86,9 @@ class PointwiseBlock(nn.Module):
     """
     out_ch: int
     nonlin: Optional[str] = "LRU"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = nn.Dense(self.out_ch)(x)
+        x = nn.Dense(self.out_ch, dtype=self.dtype)(x)
         return _activation(self.nonlin)(x)

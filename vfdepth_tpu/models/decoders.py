@@ -13,7 +13,7 @@ reference's own fusion DepthDecoder:
 """
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Any, Dict, List, Sequence, Tuple
 
 import jax.numpy as jnp
 import flax.linen as nn
@@ -34,22 +34,24 @@ class FusionDepthDecoder(nn.Module):
     num_ch_dec: Sequence[int] = (16, 32, 64, 128, 256)
     scales: Sequence[int] = (0,)
     use_skips: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, input_features: List[jnp.ndarray]) -> Dict[str, jnp.ndarray]:
         outputs = {}
         x = input_features[-1]
         for i in range(self.level_in, -1, -1):
-            x = ConvBlock(self.num_ch_dec[i], 3, nonlin="ELU",
+            x = ConvBlock(self.num_ch_dec[i], 3, nonlin="ELU", dtype=self.dtype,
                           name=f"upconv_{i}_0")(x)
             x = upsample2x_nearest(x)
             if self.use_skips and i > 0:
                 x = jnp.concatenate([x, input_features[i - 1]], axis=-1)
-            x = ConvBlock(self.num_ch_dec[i], 3, nonlin="ELU",
+            x = ConvBlock(self.num_ch_dec[i], 3, nonlin="ELU", dtype=self.dtype,
                           name=f"upconv_{i}_1")(x)
             if i in self.scales:
-                disp = ConvBlock(1, 3, nonlin=None, name=f"dispconv_{i}")(x)
-                outputs[f"disp/{i}"] = nn.sigmoid(disp)
+                disp = ConvBlock(1, 3, nonlin=None, dtype=self.dtype,
+                                 name=f"dispconv_{i}")(x)
+                outputs[f"disp/{i}"] = nn.sigmoid(disp.astype(jnp.float32))
         return outputs
 
 
@@ -59,22 +61,24 @@ class MonoDepthDecoder(nn.Module):
     num_ch_dec: Sequence[int] = (16, 32, 64, 128, 256)
     scales: Sequence[int] = (0, 1, 2, 3)
     use_skips: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, input_features: List[jnp.ndarray]) -> Dict[str, jnp.ndarray]:
         outputs = {}
         x = input_features[-1]
         for i in range(4, -1, -1):
-            x = ConvBlock(self.num_ch_dec[i], 3, nonlin="ELU",
+            x = ConvBlock(self.num_ch_dec[i], 3, nonlin="ELU", dtype=self.dtype,
                           name=f"upconv_{i}_0")(x)
             x = upsample2x_nearest(x)
             if self.use_skips and i > 0:
                 x = jnp.concatenate([x, input_features[i - 1]], axis=-1)
-            x = ConvBlock(self.num_ch_dec[i], 3, nonlin="ELU",
+            x = ConvBlock(self.num_ch_dec[i], 3, nonlin="ELU", dtype=self.dtype,
                           name=f"upconv_{i}_1")(x)
             if i in self.scales:
-                disp = ConvBlock(1, 3, nonlin=None, name=f"dispconv_{i}")(x)
-                outputs[f"disp/{i}"] = nn.sigmoid(disp)
+                disp = ConvBlock(1, 3, nonlin=None, dtype=self.dtype,
+                                 name=f"dispconv_{i}")(x)
+                outputs[f"disp/{i}"] = nn.sigmoid(disp.astype(jnp.float32))
         return outputs
 
 
@@ -88,18 +92,20 @@ class PoseDecoder(nn.Module):
     """
     num_frames_to_predict_for: int = 1
     stride: int = 1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, feature: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        x = nn.Conv(256, (1, 1), name="squeeze")(feature)
+        x = nn.Conv(256, (1, 1), dtype=self.dtype, name="squeeze")(feature)
         x = nn.relu(x)
         x = nn.Conv(256, (3, 3), strides=(self.stride, self.stride),
-                    padding=((1, 1), (1, 1)), name="pose_0")(x)
+                    padding=((1, 1), (1, 1)), dtype=self.dtype, name="pose_0")(x)
         x = nn.relu(x)
         x = nn.Conv(256, (3, 3), strides=(self.stride, self.stride),
-                    padding=((1, 1), (1, 1)), name="pose_1")(x)
+                    padding=((1, 1), (1, 1)), dtype=self.dtype, name="pose_1")(x)
         x = nn.relu(x)
-        x = nn.Conv(6 * self.num_frames_to_predict_for, (1, 1), name="pose_2")(x)
-        x = x.mean(axis=(-3, -2))  # [b, 6*n]
+        x = nn.Conv(6 * self.num_frames_to_predict_for, (1, 1), dtype=self.dtype,
+                    name="pose_2")(x)
+        x = x.astype(jnp.float32).mean(axis=(-3, -2))  # [b, 6*n] (f32 head)
         x = 0.01 * x.reshape(x.shape[:-1] + (self.num_frames_to_predict_for, 1, 6))
         return x[..., :3], x[..., 3:]

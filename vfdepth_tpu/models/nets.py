@@ -12,7 +12,7 @@ is folded into batch only around the shared 2D conv encoders/decoders
 """
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 import flax.linen as nn
@@ -49,34 +49,15 @@ class FusedDepthNet(nn.Module):
     proj_d_str: float = 2.0
     proj_d_end: float = 50.0
     overlap_groups: Tuple[Sequence[int], Sequence[int]] = ((0, 3, 4), (1, 2, 5))
+    dtype: Any = None
 
-    @nn.compact
-    def __call__(
-        self,
-        images: jnp.ndarray,          # [b, cams, H, W, 3] color_aug frame 0
-        mask: jnp.ndarray,            # [b, cams, H, W, 1]
-        intrinsics: jnp.ndarray,      # [b, cams, 4, 4] at fusion_level+1 scale
-        inv_k: jnp.ndarray,           # [b, cams, 4, 4] at fusion_level+1 scale
-        extrinsics: jnp.ndarray,
-        extrinsics_inv: jnp.ndarray,
-        extrinsics_aug: Optional[jnp.ndarray] = None,
-        train: bool = True,
-    ) -> Dict[str, jnp.ndarray]:
-        b, cams = images.shape[:2]
+    def setup(self):
         lev = self.fusion_level
-
-        packed = pack_cam_feat(images)
-        feats = ResnetEncoder(self.num_layers, 1, name="encoder")(packed, train)
-
-        up_h, up_w = feats[lev].shape[-3], feats[lev].shape[-2]
-        agg = [feats[lev]] + [
-            resize_bilinear(f, (up_h, up_w), align_corners=True) for f in feats[lev + 1:]
-        ]
-        agg = jnp.concatenate(agg, axis=-1)
-        agg = ConvBlock(self.fusion_feat_in_dim, kernel_size=1, name="conv1x1")(agg, train)
-        feats_agg = unpack_cam_feat(agg, b, cams)
-
-        fusion = VFNet(
+        self.encoder = ResnetEncoder(self.num_layers, 1, dtype=self.dtype,
+                                     name="encoder")
+        self.conv1x1 = ConvBlock(self.fusion_feat_in_dim, kernel_size=1,
+                                 dtype=self.dtype, name="conv1x1")
+        self.fusion_net = VFNet(
             feat_in_dim=self.fusion_feat_in_dim,
             feat_out_dim=num_ch_enc(self.num_layers)[lev],
             model="depth",
@@ -92,29 +73,92 @@ class FusedDepthNet(nn.Module):
             height=self.height,
             width=self.width,
             overlap_groups=self.overlap_groups,
+            dtype=self.dtype,
             name="fusion_net",
-        )(feats_agg, mask, intrinsics, inv_k, extrinsics, extrinsics_inv,
-          extrinsics_aug=extrinsics_aug, train=train)
-
-        decoder = FusionDepthDecoder(
+        )
+        self.decoder = FusionDepthDecoder(
             level_in=lev,
             num_ch_enc=num_ch_enc(self.num_layers)[: lev + 1],
             scales=tuple(self.scales),
             use_skips=self.use_skips,
+            dtype=self.dtype,
             name="decoder",
         )
+
+    def encode_aggregate(self, images: jnp.ndarray, train: bool):
+        """Packed encoder pass + fusion-level feature aggregation."""
+        b, cams = images.shape[:2]
+        lev = self.fusion_level
+        packed = pack_cam_feat(images)
+        feats = self.encoder(packed, train)
+        up_h, up_w = feats[lev].shape[-3], feats[lev].shape[-2]
+        agg = [feats[lev]] + [
+            resize_bilinear(f, (up_h, up_w), align_corners=True)
+            for f in feats[lev + 1:]
+        ]
+        agg = jnp.concatenate(agg, axis=-1)
+        agg = self.conv1x1(agg, train)
+        return feats, unpack_cam_feat(agg, b, cams)
+
+    def __call__(
+        self,
+        images: jnp.ndarray,          # [b, cams, H, W, 3] color_aug frame 0
+        mask: jnp.ndarray,            # [b, cams, H, W, 1]
+        intrinsics: jnp.ndarray,      # [b, cams, 4, 4] at fusion_level+1 scale
+        inv_k: jnp.ndarray,           # [b, cams, 4, 4] at fusion_level+1 scale
+        extrinsics: jnp.ndarray,
+        extrinsics_inv: jnp.ndarray,
+        extrinsics_aug: Optional[jnp.ndarray] = None,
+        train: bool = True,
+    ) -> Dict[str, jnp.ndarray]:
+        b, cams = images.shape[:2]
+        lev = self.fusion_level
+        feats, feats_agg = self.encode_aggregate(images, train)
+
+        fusion = self.fusion_net(
+            feats_agg, mask, intrinsics, inv_k, extrinsics, extrinsics_inv,
+            extrinsics_aug=extrinsics_aug, train=train)
+
         skip_feats = [feats[i] for i in range(lev)]
 
         outputs: Dict[str, jnp.ndarray] = {}
-        dec = decoder(skip_feats + [pack_cam_feat(fusion["proj_feat"])])
+        dec = self.decoder(skip_feats + [pack_cam_feat(fusion["proj_feat"])])
         for k, v in dec.items():
             outputs[k] = unpack_cam_feat(v, b, cams)
 
         if extrinsics_aug is not None:
-            dec_aug = decoder(skip_feats + [pack_cam_feat(fusion["proj_feat_aug"])])
+            dec_aug = self.decoder(skip_feats + [pack_cam_feat(fusion["proj_feat_aug"])])
             for k, v in dec_aug.items():
                 outputs[f"{k}/aug"] = unpack_cam_feat(v, b, cams)
         return outputs
+
+    def fuse_voxel(self, images: jnp.ndarray, mask: jnp.ndarray,
+                   intrinsics: jnp.ndarray, extrinsics_inv: jnp.ndarray
+                   ) -> jnp.ndarray:
+        """Encoder + back-projection + fusion only -> voxel feature
+        [b, n_voxels, C]. First half of the depth-synthesis sweep
+        (reference ``volumetric_fusionnet.py:320-335``)."""
+        _, feats_agg = self.encode_aggregate(images, train=False)
+        feat, _, count = self.fusion_net.backproject_into_voxel(
+            feats_agg, mask, intrinsics, extrinsics_inv)
+        return self.fusion_net.fuse_depth(feat, count)
+
+    def decode_view(self, voxel_feat: jnp.ndarray, inv_k_aug: jnp.ndarray,
+                    rot: jnp.ndarray, extrinsics: jnp.ndarray) -> jnp.ndarray:
+        """Decode camera-0 disparity at a novel rotated viewpoint.
+
+        ``rot``: [3] axis-angle applied on top of the extrinsics (the
+        reference's per-sweep-step transform, ``volumetric_fusionnet.py:321-328``).
+        Returns [b, H', W', 1] disparity at the finest scale.
+        """
+        from ..geometry.se3 import axis_angle_to_matrix
+
+        rot_mat = axis_angle_to_matrix(rot)
+        tform = jnp.eye(4, dtype=extrinsics.dtype).at[:3, :3].set(rot_mat)
+        ext_aug = tform @ extrinsics
+        proj = self.fusion_net.project_voxel_into_image(
+            voxel_feat, inv_k_aug, ext_aug, train=False)
+        return self.decoder([proj[:, 0]])[f"disp/{min(self.scales)}"]
 
 
 class FusedPoseNet(nn.Module):
@@ -132,6 +176,7 @@ class FusedPoseNet(nn.Module):
     proj_d_bins: int = 50
     proj_d_str: float = 2.0
     proj_d_end: float = 50.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(
@@ -150,14 +195,16 @@ class FusedPoseNet(nn.Module):
 
         pair = jnp.concatenate([cur_images, next_images], axis=-1)  # 6 channels
         packed = pack_cam_feat(pair)
-        feats = ResnetEncoder(self.num_layers, 2, name="encoder")(packed, train)
+        feats = ResnetEncoder(self.num_layers, 2, dtype=self.dtype,
+                              name="encoder")(packed, train)
 
         up_h, up_w = feats[lev].shape[-3], feats[lev].shape[-2]
         agg = [feats[lev]] + [
             resize_bilinear(f, (up_h, up_w), align_corners=True) for f in feats[lev + 1:]
         ]
         agg = jnp.concatenate(agg, axis=-1)
-        agg = ConvBlock(self.fusion_feat_in_dim, kernel_size=1, name="conv1x1")(agg, train)
+        agg = ConvBlock(self.fusion_feat_in_dim, kernel_size=1,
+                        dtype=self.dtype, name="conv1x1")(agg, train)
         feats_agg = unpack_cam_feat(agg, b, cams)
 
         bev = VFNet(
@@ -174,12 +221,14 @@ class FusedPoseNet(nn.Module):
             fusion_level=lev,
             height=self.height,
             width=self.width,
+            dtype=self.dtype,
             name="fusion_net",
         )(feats_agg, mask, intrinsics, inv_k, extrinsics, extrinsics_inv,
           train=train)["bev_feat"]
 
         axisangle, translation = PoseDecoder(
-            num_frames_to_predict_for=1, stride=2, name="pose_decoder")(bev)
+            num_frames_to_predict_for=1, stride=2, dtype=self.dtype,
+            name="pose_decoder")(bev)
         # translation clamp +-4.0 m (reference fusion_posenet.py:72)
         return axisangle, jnp.clip(translation, -4.0, 4.0)
 
@@ -189,13 +238,16 @@ class MonoDepthNet(nn.Module):
     mono_depthnet.py). Input is a packed [n, H, W, 3] image batch."""
     num_layers: int = 18
     scales: Sequence[int] = (0, 1, 2, 3)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = True) -> Dict[str, jnp.ndarray]:
-        feats = ResnetEncoder(self.num_layers, 1, name="encoder")(images, train)
+        feats = ResnetEncoder(self.num_layers, 1, dtype=self.dtype,
+                              name="encoder")(images, train)
         return MonoDepthDecoder(
             num_ch_enc=num_ch_enc(self.num_layers),
             scales=tuple(self.scales),
+            dtype=self.dtype,
             name="decoder",
         )(feats)
 
@@ -204,12 +256,15 @@ class MonoPoseNet(nn.Module):
     """Monodepth2-style per-camera pose (reference mono_posenet.py):
     2 frames stacked on channels -> encoder -> pose decoder."""
     num_layers: int = 18
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, cur_images: jnp.ndarray, next_images: jnp.ndarray,
                  train: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
         pair = jnp.concatenate([cur_images, next_images], axis=-1)
-        feats = ResnetEncoder(self.num_layers, 2, name="encoder")(pair, train)
+        feats = ResnetEncoder(self.num_layers, 2, dtype=self.dtype,
+                              name="encoder")(pair, train)
         axisangle, translation = PoseDecoder(
-            num_frames_to_predict_for=1, stride=1, name="pose_decoder")(feats[-1])
+            num_frames_to_predict_for=1, stride=1, dtype=self.dtype,
+            name="pose_decoder")(feats[-1])
         return axisangle, jnp.clip(translation, -4.0, 4.0)

@@ -14,7 +14,7 @@ Optionally initializable from torchvision ImageNet weights via
 """
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Any, List, Sequence
 
 import jax.numpy as jnp
 import flax.linen as nn
@@ -34,31 +34,33 @@ def num_ch_enc(num_layers: int) -> List[int]:
 
 class _Norm(nn.Module):
     """BatchNorm matching torchvision defaults (momentum 0.1 torch == 0.9 flax)."""
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool):
         return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                            epsilon=1e-5)(x)
+                            epsilon=1e-5, dtype=self.dtype)(x)
 
 
 class BasicBlock(nn.Module):
     planes: int
     stride: int = 1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         identity = x
         out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
-                      padding=((1, 1), (1, 1)), use_bias=False, name="conv1")(x)
-        out = _Norm(name="bn1")(out, train)
+                      padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype, name="conv1")(x)
+        out = _Norm(dtype=self.dtype, name="bn1")(out, train)
         out = nn.relu(out)
         out = nn.Conv(self.planes, (3, 3), padding=((1, 1), (1, 1)),
-                      use_bias=False, name="conv2")(out)
-        out = _Norm(name="bn2")(out, train)
+                      use_bias=False, dtype=self.dtype, name="conv2")(out)
+        out = _Norm(dtype=self.dtype, name="bn2")(out, train)
         if self.stride != 1 or x.shape[-1] != self.planes:
             identity = nn.Conv(self.planes, (1, 1), strides=(self.stride, self.stride),
-                               use_bias=False, name="downsample_conv")(x)
-            identity = _Norm(name="downsample_bn")(identity, train)
+                               use_bias=False, dtype=self.dtype, name="downsample_conv")(x)
+            identity = _Norm(dtype=self.dtype, name="downsample_bn")(identity, train)
         return nn.relu(out + identity)
 
 
@@ -66,24 +68,25 @@ class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
     expansion: int = 4
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         identity = x
         out_ch = self.planes * self.expansion
-        out = nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1")(x)
-        out = _Norm(name="bn1")(out, train)
+        out = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
+        out = _Norm(dtype=self.dtype, name="bn1")(out, train)
         out = nn.relu(out)
         out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
-                      padding=((1, 1), (1, 1)), use_bias=False, name="conv2")(out)
-        out = _Norm(name="bn2")(out, train)
+                      padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype, name="conv2")(out)
+        out = _Norm(dtype=self.dtype, name="bn2")(out, train)
         out = nn.relu(out)
-        out = nn.Conv(out_ch, (1, 1), use_bias=False, name="conv3")(out)
-        out = _Norm(name="bn3")(out, train)
+        out = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(out)
+        out = _Norm(dtype=self.dtype, name="bn3")(out, train)
         if self.stride != 1 or x.shape[-1] != out_ch:
             identity = nn.Conv(out_ch, (1, 1), strides=(self.stride, self.stride),
-                               use_bias=False, name="downsample_conv")(x)
-            identity = _Norm(name="downsample_bn")(identity, train)
+                               use_bias=False, dtype=self.dtype, name="downsample_conv")(x)
+            identity = _Norm(dtype=self.dtype, name="downsample_bn")(identity, train)
         return nn.relu(out + identity)
 
 
@@ -97,6 +100,7 @@ class ResnetEncoder(nn.Module):
     """
     num_layers: int = 18
     num_input_images: int = 1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> List[jnp.ndarray]:
@@ -104,11 +108,13 @@ class ResnetEncoder(nn.Module):
         block_cls = BasicBlock if spec["block"] == "basic" else Bottleneck
 
         x = (x - 0.45) / 0.225  # Monodepth2 input normalization
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
 
         features = []
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-                    use_bias=False, name="conv1")(x)
-        x = _Norm(name="bn1")(x, train)
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        x = _Norm(dtype=self.dtype, name="bn1")(x, train)
         x = nn.relu(x)
         features.append(x)  # stride 2
 
@@ -118,6 +124,6 @@ class ResnetEncoder(nn.Module):
         for stage, (n_blocks, width) in enumerate(zip(spec["layers"], planes)):
             for blk in range(n_blocks):
                 stride = 2 if (stage > 0 and blk == 0) else 1
-                x = block_cls(width, stride, name=f"layer{stage + 1}_{blk}")(x, train)
+                x = block_cls(width, stride, dtype=self.dtype, name=f"layer{stage + 1}_{blk}")(x, train)
             features.append(x)
         return features

@@ -22,7 +22,7 @@ self-occlusion mask (nearest-sampled > 0.5) x (z > 0) x in-bounds (:183-195).
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 import jax
@@ -61,21 +61,23 @@ class VFNet(nn.Module):
     height: int = 384
     width: int = 640
     overlap_groups: Tuple[Sequence[int], Sequence[int]] = ((0, 3, 4), (1, 2, 5))
+    dtype: Any = None
 
     def setup(self):
         # submodules must be declared here (helper methods below use them)
         if self.model == "depth":
             self.conv_non_overlap = [
-                PointwiseBlock(ch, name=f"conv_non_overlap_{j}")
+                PointwiseBlock(ch, dtype=self.dtype, name=f"conv_non_overlap_{j}")
                 for j, ch in enumerate(self.voxel_pre_dim)]
             self.conv_overlap = [
-                PointwiseBlock(ch, name=f"conv_overlap_{j}")
+                PointwiseBlock(ch, dtype=self.dtype, name=f"conv_overlap_{j}")
                 for j, ch in enumerate(self.voxel_pre_dim)]
         self.reduce_dim_0 = ConvBlock(
-            256, 3, stride=1 if self.model == "depth" else 2, name="reduce_dim_0")
+            256, 3, stride=1 if self.model == "depth" else 2, dtype=self.dtype,
+            name="reduce_dim_0")
         self.reduce_dim_1 = ConvBlock(
             self.feat_out_dim, 3, stride=1 if self.model == "depth" else 2,
-            name="reduce_dim_1")
+            dtype=self.dtype, name="reduce_dim_1")
 
     @property
     def img_h(self) -> int:
@@ -102,22 +104,27 @@ class VFNet(nn.Module):
         [b, cams, n, 1], and visibility count [b, n, 1]."""
         h_dim, w_dim = feats_agg.shape[-3], feats_agg.shape[-2]
         dtype = feats_agg.dtype
+        # geometry stays f32 even under bf16 mixed precision: bf16 pixel
+        # coordinates would cost ~0.3 px of sampling accuracy
+        geo = jnp.float32
         vz, vy, vx = self.vol_dims
         n_vox = vz * vy * vx
 
         vox = voxel_points_homo(self.voxel_str_p, self.voxel_unit_size,
-                                self.voxel_size, dtype)  # [4, n]
+                                self.voxel_size, geo)  # [4, n]
 
         # voxels -> each camera frame (reference :132-133)
-        v_local = jnp.einsum("bcij,jn->bcin", extrinsics_inv[..., :3, :], vox)
+        v_local = jnp.einsum("bcij,jn->bcin",
+                             extrinsics_inv[..., :3, :].astype(geo), vox)
 
         # pinhole projection + align_corners NDC (reference :166-181)
-        cam_pts = jnp.einsum("bcij,bcjn->bcin", intrinsics[..., :3, :3], v_local)
+        cam_pts = jnp.einsum("bcij,bcjn->bcin",
+                             intrinsics[..., :3, :3].astype(geo), v_local)
         z = cam_pts[..., 2:3, :]
         xy = cam_pts[..., :2, :] / (z + 1e-8)
         xy = jnp.nan_to_num(xy, nan=2.0 * w_dim, posinf=2.0 * w_dim, neginf=-2.0 * w_dim)
         xy = jnp.clip(xy, -2.0 * w_dim, 2.0 * w_dim)
-        scale = jnp.array([2.0 / (w_dim - 1), 2.0 / (h_dim - 1)], dtype=dtype)
+        scale = jnp.array([2.0 / (w_dim - 1), 2.0 / (h_dim - 1)], dtype=geo)
         pix = jnp.moveaxis(xy * scale[:, None] - 1.0, -2, -1)  # [b, cams, n, 2]
 
         # validity: occlusion mask (nearest), in-front, in-bounds (:183-195)
@@ -127,9 +134,22 @@ class VFNet(nn.Module):
         in_bounds = jnp.all((pix >= -1.0) & (pix <= 1.0), axis=-1, keepdims=True)
         valid = ((m > 0.5) & in_front & in_bounds).astype(dtype)
 
-        feat = grid_sample_2d(feats_agg, pix, mode="bilinear")  # [b, cams, n, C]
+        # feature sampling: Pallas one-hot-matmul kernel on TPU (the XLA
+        # gather/scatter pair costs ~180 ms fwd+bwd and minutes of compile;
+        # the kernel runs both directions as MXU matmuls). Multi-chip note:
+        # the batch axis is the kernel grid's leading dim; under data-parallel
+        # sharding wrap with shard_map (single-chip jit is fine as-is).
+        if jax.default_backend() == "tpu":
+            from ..ops.pallas_sample import sample_bilinear_pallas
+            b_, cams_ = feats_agg.shape[:2]
+            feat = sample_bilinear_pallas(
+                feats_agg.reshape((b_ * cams_,) + feats_agg.shape[2:]),
+                pix.reshape(b_ * cams_, -1, 2),
+            ).reshape(pix.shape[:3] + (feats_agg.shape[-1],))
+        else:
+            feat = grid_sample_2d(feats_agg, pix, mode="bilinear")  # [b, cams, n, C]
         # append normalized camera-frame depth as a feature (:145)
-        rel_depth = v_local[..., 2, :][..., None] / self.voxel_size[0]
+        rel_depth = (v_local[..., 2, :][..., None] / self.voxel_size[0]).astype(dtype)
         feat = jnp.concatenate([feat, rel_depth], axis=-1) * valid
 
         count = jnp.sum(valid, axis=1)  # [b, n, 1]
@@ -177,17 +197,18 @@ class VFNet(nn.Module):
         vz, vy, vx = self.vol_dims
         c = voxel_feat.shape[-1]
         vol = voxel_feat.reshape(b, vz, vy, vx, c)
-        dtype = voxel_feat.dtype
+        geo = jnp.float32  # sampling coordinates always f32
 
         bins = jnp.linspace(self.proj_d_str, self.proj_d_end, self.proj_d_bins,
-                            dtype=dtype)
-        world = frustum_world_points(inv_k, extrinsics, self.img_h, self.img_w,
+                            dtype=geo)
+        world = frustum_world_points(inv_k.astype(geo), extrinsics.astype(geo),
+                                     self.img_h, self.img_w,
                                      bins)  # [b, cams, d, P, 3]
 
         # world xyz -> voxel NDC per axis (reference :253-258)
-        str_p = jnp.array(self.voxel_str_p, dtype=dtype)
-        end_p = str_p + jnp.array(self.voxel_unit_size, dtype=dtype) * (
-            jnp.array(self.voxel_size, dtype=dtype) - 1.0)
+        str_p = jnp.array(self.voxel_str_p, dtype=geo)
+        end_p = str_p + jnp.array(self.voxel_unit_size, dtype=geo) * (
+            jnp.array(self.voxel_size, dtype=geo) - 1.0)
         ndc = (world - str_p) / (end_p - str_p) * 2.0 - 1.0
 
         sampled = grid_sample_3d(vol, ndc)  # [b, cams, d, P, C]

@@ -1,0 +1,202 @@
+"""Pallas TPU kernels: bilinear sampling as in-VMEM one-hot matmuls.
+
+The hot op of voxel back-projection — sample a small fusion-level feature map
+(48x80) at ~200k projected voxel centers per camera — is pathological for
+XLA on TPU (gather fwd ~61 ms, scatter-add bwd ~120 ms with minutes-long
+compiles; measured v5e). These kernels express both directions as MXU
+matmuls against a 4-tap one-hot weight matrix that is built *inside* the
+kernel and never leaves VMEM:
+
+  forward : out[n, c]  = W[n, :] @ img[:, c]      (W: [TILE_N, HW])
+  backward: dimg[p, c] = W[:, p]^T @ g[:, c]      (accumulated over tiles)
+
+Per grid step the whole (flattened) source image lives in VMEM (~2-4 MB),
+W is a [TILE_N, HW] bf16 scratch, and the one-hot construction is a handful
+of VPU iota-compares. Compiles in seconds; runtime is flops-bound at
+N*HW*C MACs (~12 ms for the 6-cam back-projection) — ~10x faster than the
+XLA gather/scatter pair it replaces.
+
+Coordinates carry no gradient (they are functions of calibration constants
+in the back-projection; reference ``network/volumetric_fusionnet.py:132-145``).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .matmul_sample import _tap_weights  # noqa: F401 (XLA fallback shares tap math)
+
+_TILE_N = 256
+
+
+def _y_expansion(h: int, w: int) -> jnp.ndarray:
+    """Constant Ey [h, h*w] with Ey[y, p] = (p // w == y), bf16."""
+    import numpy as np
+    p = np.arange(h * w)
+    ey = (p[None, :] // w == np.arange(h)[:, None])
+    return jnp.asarray(ey.astype(np.float32), jnp.bfloat16)
+
+
+def _separable_w(coords: jnp.ndarray, ey_ref, h: int, w: int) -> jnp.ndarray:
+    """Build the bilinear weight matrix W [tile, h*w] in bf16.
+
+    Bilinear weights factor per axis (w_yx = wy_y * wx_x): build 2-tap
+    one-hots over w (<=80 lanes) and h (<=48) with a few compares, then
+    expand to full h*w width with lane-native ops — ``pltpu.repeat`` for the
+    row one-hot (flat p//w pattern) and lane concatenation for the column
+    one-hot (p%w pattern). No 3D reshape (unsupported by Mosaic), no f32
+    intermediates, ~10x less VPU work than 4 dense compares over h*w.
+    """
+    tile = coords.shape[0]
+    finite = jnp.isfinite(coords[:, 0]) & jnp.isfinite(coords[:, 1])
+    cx = jnp.where(finite, coords[:, 0], -2.0)
+    cy = jnp.where(finite, coords[:, 1], -2.0)
+    x = (cx + 1.0) * 0.5 * (w - 1)
+    y = (cy + 1.0) * 0.5 * (h - 1)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = (x - x0)[:, None].astype(jnp.bfloat16)
+    wy = (y - y0)[:, None].astype(jnp.bfloat16)
+    ix0 = x0.astype(jnp.int32)[:, None]
+    iy0 = y0.astype(jnp.int32)[:, None]
+
+    iox = jax.lax.broadcasted_iota(jnp.int32, (tile, w), 1)
+    one = jnp.bfloat16(1.0)
+    # iota compares zero out-of-range taps automatically (no match < 0 or >= n)
+    ohx = ((iox == ix0).astype(jnp.bfloat16) * (one - wx)
+           + (iox == ix0 + 1).astype(jnp.bfloat16) * wx)
+    ioy = jax.lax.broadcasted_iota(jnp.int32, (tile, h), 1)
+    ohy = ((ioy == iy0).astype(jnp.bfloat16) * (one - wy)
+           + (ioy == iy0 + 1).astype(jnp.bfloat16) * wy)
+
+    # flat index p = y*w + x: ohx expands by tiling the whole row h times
+    # (pltpu.repeat tiles, matching the p%w pattern); ohy needs element-wise
+    # repetition (p//w) — done as a tiny constant 0/1 matmul on the MXU
+    # (Ey[y, p] = [p//w == y], [h, h*w]).
+    ohx_full = pltpu.repeat(ohx, h, axis=1)            # [tile, h*w]
+    ohy_full = jnp.dot(ohy, ey_ref[:],
+                       preferred_element_type=jnp.float32)
+    return ohx_full * ohy_full.astype(jnp.bfloat16)
+
+
+def _fwd_kernel(h: int, w: int, img_ref, coords_ref, ey_ref, out_ref):
+    """img [h*w, C]; coords [TILE_N, 2]; out [TILE_N, C]."""
+    w_mat = _separable_w(coords_ref[:], ey_ref, h, w)
+    out_ref[:] = jnp.dot(w_mat, img_ref[:].astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32).astype(out_ref.dtype)
+
+
+def _bwd_kernel(h: int, w: int, g_ref, coords_ref, ey_ref, out_ref):
+    """g [TILE_N, C]; out (accumulator) [h*w, C]. Grid dim 1 iterates tiles."""
+    step = pl.program_id(1)
+
+    @pl.when(step == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    w_mat = _separable_w(coords_ref[:], ey_ref, h, w)
+    # contract the tile axis without materializing a transposed W copy
+    contrib = jax.lax.dot_general(
+        w_mat, g_ref[:].astype(jnp.bfloat16),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    out_ref[:] += contrib.astype(out_ref.dtype)
+
+
+def _pad_pts(x: jnp.ndarray):
+    n = x.shape[1]
+    pad = (-n) % _TILE_N
+    if pad:
+        # pad with -2 (out of range -> zero weights), not 0 (a valid coord)
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)), constant_values=-2.0)
+    return x, n
+
+
+def _fwd_call(img_flat: jnp.ndarray, coords: jnp.ndarray, h: int, w: int):
+    """img_flat [B, h*w, C]; coords [B, N, 2] -> [B, N, C]."""
+    b, hw, c = img_flat.shape
+    coords_p, n = _pad_pts(coords)
+    n_tiles = coords_p.shape[1] // _TILE_N
+
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, h, w),
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec((None, hw, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, _TILE_N, 2), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, hw), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, _TILE_N, c), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, coords_p.shape[1], c), img_flat.dtype),
+        interpret=(jax.default_backend() != "tpu"),
+    )(img_flat, coords_p, _y_expansion(h, w))
+    return out[:, :n]
+
+
+def _bwd_call(g: jnp.ndarray, coords: jnp.ndarray, h: int, w: int):
+    """g [B, N, C] -> dimg_flat [B, h*w, C]."""
+    b, n, c = g.shape
+    pad = (-n) % _TILE_N
+    if pad:
+        g = jnp.pad(g, ((0, 0), (0, pad), (0, 0)))
+    coords_p, _ = _pad_pts(coords)
+    n_tiles = coords_p.shape[1] // _TILE_N
+
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, h, w),
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec((None, _TILE_N, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, _TILE_N, 2), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, h * w), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, h * w, c), lambda i, j: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h * w, c), g.dtype),
+        interpret=(jax.default_backend() != "tpu"),
+    )(g, coords_p, _y_expansion(h, w))
+
+
+@jax.custom_vjp
+def _pallas_sample(img: jnp.ndarray, coords: jnp.ndarray):
+    h, w = img.shape[-3], img.shape[-2]
+    img_flat = img.reshape(img.shape[0], h * w, img.shape[-1])
+    return _fwd_call(img_flat, coords, h, w)
+
+
+def _pallas_sample_fwd(img, coords):
+    out = _pallas_sample(img, coords)
+    return out, (coords, img.shape)
+
+
+def _pallas_sample_bwd(res, g):
+    coords, img_shape = res
+    h, w = img_shape[-3], img_shape[-2]
+    dimg_flat = _bwd_call(g, coords, h, w)
+    return dimg_flat.reshape(img_shape), jnp.zeros_like(coords)
+
+
+_pallas_sample.defvjp(_pallas_sample_fwd, _pallas_sample_bwd)
+
+
+def sample_bilinear_pallas(img: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample via the Pallas one-hot-matmul kernel.
+
+    Args:
+      img: [B, H, W, C] small source (H*W*C must fit VMEM, <= ~4 MB).
+      coords: [B, N, 2] normalized (x, y), align_corners=True.
+    Returns [B, N, C]; gradient flows to img only.
+    """
+    return _pallas_sample(img, coords)

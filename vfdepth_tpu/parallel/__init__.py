@@ -1,0 +1,3 @@
+from .mesh import DATA_AXIS, make_mesh, batch_sharding, replicated, shard_batch
+
+__all__ = ["DATA_AXIS", "make_mesh", "batch_sharding", "replicated", "shard_batch"]

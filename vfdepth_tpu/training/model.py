@@ -76,6 +76,8 @@ class VFDepthModel:
         self.max_depth = cfg.max_depth
         self.focal_length_scale = cfg.focal_length_scale
         self.intensity_align = cfg.intensity_align
+        self.compute_dtype = (jnp.bfloat16 if cfg.get("mixed_precision", False)
+                              else None)
 
         vox_kwargs = dict(
             voxel_str_p=tuple(cfg.voxel_str_p),
@@ -97,19 +99,23 @@ class VFDepthModel:
                 scales=tuple(cfg.scales),
                 voxel_pre_dim=tuple(cfg.voxel_pre_dim),
                 overlap_groups=cfg.overlap_groups,
+                dtype=self.compute_dtype,
                 **vox_kwargs,
             )
         else:
             self.depth_net = MonoDepthNet(num_layers=cfg.num_layers,
-                                          scales=tuple(cfg.scales))
+                                          scales=tuple(cfg.scales),
+                                          dtype=self.compute_dtype)
         if cfg.pose_model == "fusion":
             self.pose_net = FusedPoseNet(
                 num_layers=cfg.num_layers,
                 fusion_feat_in_dim=cfg.fusion_feat_in_dim,
+                dtype=self.compute_dtype,
                 **{k: v for k, v in vox_kwargs.items()},
             )
         else:
-            self.pose_net = MonoPoseNet(num_layers=cfg.num_layers)
+            self.pose_net = MonoPoseNet(num_layers=cfg.num_layers,
+                                        dtype=self.compute_dtype)
 
     # ------------------------------------------------------------------
     def init(self, rng: jax.Array, batch: Dict[str, jnp.ndarray]):

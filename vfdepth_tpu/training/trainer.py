@@ -132,12 +132,27 @@ class Trainer:
                                     self.cfg.models_to_load, load_optimizer=False)
         eval_step = build_eval_step(self.model)
 
+        syn_visualize = bool(self.cfg.get("syn_visualize", False))
+        syn_idx = self.cfg.get("syn_idx") or 0
+
         avg_metric = {k: 0.0 for k in METRIC_NAMES}
         avg_median = {k: 0.0 for k in METRIC_NAMES}
         n_batches = 0
         for batch_idx, batch in enumerate(eval_loader):
+            # depth-synthesis visualization: skip ahead to syn_idx, render the
+            # scripted sweep there, then stop (reference :129-143)
+            if syn_visualize and batch_idx < syn_idx:
+                continue
             jbatch = jax.tree_util.tree_map(jnp.asarray, batch)
             outputs, _ = eval_step(state, jbatch, rng)
+            if syn_visualize:
+                from .synthesis import synthesize_sweep
+                disp_vis = synthesize_sweep(
+                    self.model, state.params, state.batch_stats, jbatch)
+                out_np = {k: np.asarray(v) for k, v in outputs.items()}
+                out_np["disp_vis"] = disp_vis
+                self.logger.log_result(out_np, batch_idx, syn_visualize=True)
+                break
             metric, median, _ = compute_depth_metrics(
                 np.asarray(batch["depth"]), np.asarray(outputs["depth/0"]),
                 np.asarray(batch["mask"]),
