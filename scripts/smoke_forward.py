@@ -17,46 +17,17 @@ jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 
-from vfdepth_tpu.config import Config, get_relcam, DDAD_CAM_LIST
 from vfdepth_tpu.data.fake import FakeDataset
+from vfdepth_tpu.presets import tiny_config as _tiny_preset
 from vfdepth_tpu.training.model import VFDepthModel
 
 
 def tiny_config(depth_model="fusion", pose_model="fusion", aug_depth=False,
                 height=64, width=96, num_cams=6, batch_size=1):
-    cameras = DDAD_CAM_LIST[:num_cams]
-    data = {
-        "model": {
-            "num_layers": 18, "weights_init": False,
-            "depth_model": depth_model, "pose_model": pose_model,
-            "fusion_level": 2, "fusion_feat_in_dim": 32, "use_skips": False,
-            "voxel_unit_size": [4.0, 4.0, 3.0], "voxel_size": [24, 24, 8],
-            "voxel_str_p": [-46.0, -46.0, -10.5], "voxel_pre_dim": [16],
-            "proj_d_bins": 12, "proj_d_str": 2, "proj_d_end": 50,
-            "mode": "train",
-        },
-        "data": {
-            "cameras": cameras, "num_cams": num_cams,
-            "rel_cam_list": get_relcam(cameras),
-        },
-        "training": {
-            "height": height, "width": width, "scales": [0],
-            "frame_ids": [0, -1, 1], "batch_size": batch_size,
-            "min_depth": 1.5, "max_depth": 200.0,
-            "spatio": True, "spatio_temporal": True, "intensity_align": True,
-            "focal_length_scale": 300, "aug_depth": aug_depth,
-            "aug_angle": [15, 15, 40], "learning_rate": 1e-4,
-            "num_epochs": 1, "scheduler_step_size": 15,
-        },
-        "loss": {
-            "disparity_smoothness": 0.001, "spatio_coeff": 0.03,
-            "spatio_tempo_coeff": 0.1, "pose_loss_coeff": 0.0,
-            "depth_con_coeff": 0.03, "depth_sm_coeff": 0.05,
-        },
-        "eval": {"eval_batch_size": 1, "eval_min_depth": 0, "eval_max_depth": 200,
-                 "eval_visualize": False, "syn_visualize": False, "syn_idx": 0},
-    }
-    return Config(data)
+    from vfdepth_tpu.config import DDAD_CAM_LIST
+    return _tiny_preset(depth_model=depth_model, pose_model=pose_model,
+                        aug_depth=aug_depth, height=height, width=width,
+                        cameras=DDAD_CAM_LIST[:num_cams], batch_size=batch_size)
 
 
 def main():

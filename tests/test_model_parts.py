@@ -1,0 +1,110 @@
+"""Unit tests for model sub-components: to_depth mapping, VFNet geometry,
+pose prediction ordering, decoders."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tests.test_train_integration import micro_config, _batch
+from vfdepth_tpu.training.model import VFDepthModel
+
+
+def test_to_depth_endpoints():
+    """disp=0 -> max_depth * fx/300; disp=1 -> min_depth * fx/300
+    (reference models/vfdepth.py:277-288)."""
+    cfg = micro_config()
+    model = VFDepthModel(cfg)
+    fx = 150.0
+    k0 = jnp.zeros((1, 1, 4, 4)).at[:, :, 0, 0].set(fx)
+    h, w = cfg.height, cfg.width
+    d0 = model.to_depth(jnp.zeros((1, 1, h, w, 1)), k0)
+    np.testing.assert_allclose(np.asarray(d0), cfg.max_depth * fx / 300.0, rtol=1e-5)
+    d1 = model.to_depth(jnp.ones((1, 1, h, w, 1)), k0)
+    np.testing.assert_allclose(np.asarray(d1), cfg.min_depth * fx / 300.0, rtol=1e-5)
+
+
+def test_vfnet_valid_mask_geometry():
+    """Voxels behind a camera or projecting out of bounds must be invalid."""
+    from vfdepth_tpu.models.vfnet import VFNet
+
+    net = VFNet(feat_in_dim=4, feat_out_dim=8, model="pose",
+                voxel_str_p=(-8.0, -8.0, -2.0), voxel_unit_size=(2.0, 2.0, 1.0),
+                voxel_size=(8, 8, 4), num_cams=1, fusion_level=2,
+                height=32, width=64, proj_d_bins=4)
+    b, cams, h, w = 1, 1, 4, 8
+    feats = jnp.ones((b, cams, h, w, 4))
+    mask = jnp.ones((b, cams, 32, 64, 1))
+    k = jnp.eye(4)[None, None].at[:, :, 0, 0].set(8.0).at[:, :, 1, 1].set(8.0) \
+        .at[:, :, 0, 2].set(w / 2).at[:, :, 1, 2].set(h / 2)
+    # camera at origin looking along world +x (camera z = world x)
+    ext = jnp.asarray(np.array([[[
+        [0, 0, 1, 0], [-1, 0, 0, 0], [0, -1, 0, 0], [0, 0, 0, 1]]]], np.float32))
+    ext_inv = jnp.linalg.inv(ext)
+    feat, valid, count = net.backproject_into_voxel(feats, mask, k, ext_inv)
+    valid = np.asarray(valid).reshape(4, 8, 8)  # [z, y, x]
+    # voxels with world x <= 0 are behind the camera -> invalid
+    assert valid[:, :, :4].sum() == 0  # x in [-8, -2]
+    # some voxels in front must be visible
+    assert valid[:, :, 5:].sum() > 0
+
+
+def test_pose_temporal_ordering():
+    """Past-frame pose must be the inverse-composed (invert=True) form:
+    for identical frames the prediction itself is tiny; with invert the
+    two context poses must be near-inverse of each other when motion is
+    symmetric. Here we just check shapes and that the matrices are valid
+    SE(3)."""
+    cfg = micro_config(depth_model="fsm", pose_model="fsm")
+    model = VFDepthModel(cfg)
+    batch = _batch(cfg)
+    rng = jax.random.PRNGKey(0)
+    params, stats = model.init(rng, batch)
+    cam_t, _ = model.predict_pose(params["pose_net"], stats["pose_net"], batch,
+                                  train=False)
+    cam_t = np.asarray(cam_t)
+    assert cam_t.shape == (1, cfg.num_cams, 2, 4, 4)
+    # valid SE(3): R orthonormal, last row [0,0,0,1]
+    rot = cam_t[..., :3, :3]
+    eye = np.einsum("...ij,...kj->...ik", rot, rot)
+    np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), eye.shape), atol=1e-5)
+    np.testing.assert_allclose(cam_t[..., 3, :], [0, 0, 0, 1], atol=1e-6)
+
+
+def test_fusion_pose_is_canonical():
+    """With the fusion pose model every camera's pose must be the conjugate
+    of one canonical motion: E_c^-1 E_0 T E_0^-1 E_c."""
+    cfg = micro_config()
+    model = VFDepthModel(cfg)
+    batch = _batch(cfg)
+    rng = jax.random.PRNGKey(0)
+    params, stats = model.init(rng, batch)
+    cam_t, _ = model.predict_pose(params["pose_net"], stats["pose_net"], batch,
+                                  train=False)
+    cam_t = np.asarray(cam_t)
+    exts = np.asarray(batch["extrinsics"])
+    exts_inv = np.asarray(batch["extrinsics_inv"])
+    canon = cam_t[:, 0]  # camera 0 = canonical
+    for c in range(1, cfg.num_cams):
+        want = np.einsum("bij,bjk,bfkl,blm,bmn->bfin",
+                         exts_inv[:, c], exts[:, 0], canon,
+                         exts_inv[:, 0], exts[:, c])
+        np.testing.assert_allclose(cam_t[:, c], want, atol=1e-4)
+
+
+def test_decoder_output_resolutions():
+    from vfdepth_tpu.models.decoders import FusionDepthDecoder, MonoDepthDecoder
+
+    dec = FusionDepthDecoder(level_in=2, num_ch_enc=[64, 64, 128], scales=(0,))
+    feat = jnp.ones((2, 8, 12, 128))
+    vars_ = dec.init(jax.random.PRNGKey(0), [feat])
+    out = dec.apply(vars_, [feat])
+    assert out["disp/0"].shape == (2, 64, 96, 1)
+    assert float(out["disp/0"].min()) >= 0.0 and float(out["disp/0"].max()) <= 1.0
+
+    mdec = MonoDepthDecoder(num_ch_enc=[64, 64, 128, 256, 512], scales=(0, 1, 2, 3))
+    feats = [jnp.ones((1, 2 ** (5 - i), 2 ** (5 - i), ch))
+             for i, ch in enumerate([64, 64, 128, 256, 512])]
+    vars_ = mdec.init(jax.random.PRNGKey(0), feats)
+    out = mdec.apply(vars_, feats)
+    assert out["disp/0"].shape == (1, 64, 64, 1)
+    assert out["disp/3"].shape == (1, 8, 8, 1)

@@ -1,0 +1,57 @@
+"""Pallas sampling-kernel parity tests (CPU interpret mode).
+
+The kernel itself targets TPU; ``interpret=True`` (automatic off-TPU) runs
+the same program through the Pallas interpreter, validating the one-hot
+construction and both matmul directions against the gather reference.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vfdepth_tpu.ops.grid_sample import grid_sample_2d
+from vfdepth_tpu.ops.pallas_sample import sample_bilinear_pallas
+
+
+def test_pallas_forward_matches_gather():
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.randn(2, 8, 10, 7).astype(np.float32))
+    coords = jnp.asarray(rng.uniform(-1.3, 1.3, (2, 600, 2)).astype(np.float32))
+    got = np.asarray(sample_bilinear_pallas(img, coords))
+    want = np.asarray(grid_sample_2d(img, coords))
+    # kernel matmuls run in bf16 -> ~1e-2 relative tolerance
+    np.testing.assert_allclose(got, want, atol=0.05, rtol=0.02)
+
+
+def test_pallas_nonfinite_coords_zero():
+    img = jnp.ones((1, 8, 10, 3))
+    coords = jnp.asarray([[[0.0, 0.0], [np.nan, 0.2], [2.5, 0.0]]], jnp.float32)
+    out = np.asarray(sample_bilinear_pallas(img, coords))
+    np.testing.assert_allclose(out[0, 0], 1.0, atol=0.02)
+    np.testing.assert_allclose(out[0, 1], 0.0, atol=1e-6)  # nan -> no taps
+    np.testing.assert_allclose(out[0, 2], 0.0, atol=1e-6)  # oob -> no taps
+
+
+def test_pallas_backward_matches_gather_vjp():
+    rng = np.random.RandomState(1)
+    img = jnp.asarray(rng.randn(1, 8, 10, 5).astype(np.float32))
+    coords = jnp.asarray(rng.uniform(-1.1, 1.1, (1, 300, 2)).astype(np.float32))
+
+    def loss_pal(i):
+        return jnp.sum(sample_bilinear_pallas(i, coords) ** 2)
+
+    def loss_ref(i):
+        return jnp.sum(grid_sample_2d(i, coords) ** 2)
+
+    g_pal = np.asarray(jax.grad(loss_pal)(img))
+    g_ref = np.asarray(jax.grad(loss_ref)(img))
+    scale = np.abs(g_ref).max()
+    np.testing.assert_allclose(g_pal, g_ref, atol=0.05 * scale, rtol=0.05)
+
+
+def test_pallas_no_coord_gradient():
+    """Coordinates are declared non-differentiable (zero gradient)."""
+    rng = np.random.RandomState(2)
+    img = jnp.asarray(rng.randn(1, 6, 6, 2).astype(np.float32))
+    coords = jnp.asarray(rng.uniform(-0.9, 0.9, (1, 50, 2)).astype(np.float32))
+    g = jax.grad(lambda c: jnp.sum(sample_bilinear_pallas(img, c)))(coords)
+    np.testing.assert_allclose(np.asarray(g), 0.0)

@@ -9,40 +9,14 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from vfdepth_tpu.config import Config, get_relcam, DDAD_CAM_LIST
 from vfdepth_tpu.data.fake import FakeDataset
+from vfdepth_tpu.presets import micro_config as _micro_preset
 from vfdepth_tpu.training.model import VFDepthModel
 from vfdepth_tpu.training.step import create_train_state, build_train_step
 
 
-def micro_config(depth_model="fusion", pose_model="fusion", num_cams=3,
-                 height=32, width=64):
-    cameras = DDAD_CAM_LIST[:num_cams]
-    return Config({
-        "model": {
-            "num_layers": 18, "weights_init": False,
-            "depth_model": depth_model, "pose_model": pose_model,
-            "fusion_level": 2, "fusion_feat_in_dim": 16, "use_skips": False,
-            "voxel_unit_size": [8.0, 8.0, 6.0], "voxel_size": [12, 12, 4],
-            "voxel_str_p": [-44.0, -44.0, -9.0], "voxel_pre_dim": [8],
-            "proj_d_bins": 6, "proj_d_str": 2, "proj_d_end": 50, "mode": "train",
-        },
-        "data": {"cameras": cameras, "num_cams": num_cams,
-                 "rel_cam_list": get_relcam(cameras)},
-        "training": {
-            "height": height, "width": width, "scales": [0],
-            "frame_ids": [0, -1, 1], "batch_size": 1,
-            "min_depth": 1.5, "max_depth": 200.0,
-            "spatio": True, "spatio_temporal": True, "intensity_align": True,
-            "focal_length_scale": 300, "aug_depth": False,
-            "aug_angle": [15, 15, 40], "learning_rate": 1e-3,
-            "num_epochs": 1, "scheduler_step_size": 15,
-        },
-        "loss": {"disparity_smoothness": 0.001, "spatio_coeff": 0.03,
-                 "spatio_tempo_coeff": 0.1, "pose_loss_coeff": 0.0},
-        "eval": {"eval_batch_size": 1, "eval_min_depth": 0, "eval_max_depth": 200,
-                 "eval_visualize": False, "syn_visualize": False, "syn_idx": 0},
-    })
+def micro_config(depth_model="fusion", pose_model="fusion", **over):
+    return _micro_preset(depth_model=depth_model, pose_model=pose_model, **over)
 
 
 def _batch(cfg, batch_size=1):
@@ -111,7 +85,7 @@ def test_dp_grad_equivalence():
     for a, b in zip(flat1, flat2):
         scale = float(jnp.max(jnp.abs(a)))
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   atol=5e-5 + 5e-4 * scale, rtol=5e-3)
+                                   atol=1e-4 + 1e-3 * scale, rtol=5e-3)
 
 
 @pytest.mark.slow

@@ -33,8 +33,14 @@ def construct_dataset(cfg, mode: str):
                            depth_type=cfg.get("depth_type", "lidar"), **common)
     if name == "nuscenes":
         from .nuscenes import NuScenesDataset
+        import os
+        split = "train" if mode == "train" else "val"
+        split_file = None
+        if cfg.get("split_dir"):
+            cand = os.path.join(cfg.split_dir, f"{split}.txt")
+            split_file = cand if os.path.isfile(cand) else None
         return NuScenesDataset(cfg.data_path, cameras=tuple(cfg.cameras),
-                               split=("train" if mode == "train" else "val"),
-                               jitter=jitter, mask_dir=cfg.get("mask_dir"),
-                               **common)
+                               split=split, jitter=jitter,
+                               mask_dir=cfg.get("mask_dir"),
+                               split_file=split_file, **common)
     raise ValueError(f"unknown dataset {name!r}")

@@ -154,7 +154,7 @@ class NuScenesDataset:
             return self._masks
         masks = []
         for cam in self.cameras:
-            p = os.path.join(self.mask_dir or "", f"{cam}.png")
+            p = os.path.join(self.mask_dir or "", f"{cam}_mask.png")
             if self.mask_dir and os.path.isfile(p):
                 import PIL.Image as pil
                 with pil.open(p) as img:

@@ -28,17 +28,37 @@ from .contract import build_intrinsics_pyramid, color_key
 
 
 def resize_image(img: np.ndarray, hw: Tuple[int, int]) -> np.ndarray:
-    """Bilinear (antialiased) resize of a [H, W, 3] float image in [0, 1]."""
+    """Bilinear resize of a [H, W, 3] float image in [0, 1].
+
+    Prefers the native C++ threaded resize (``vfdepth_tpu.native``); PIL
+    bilinear as fallback, numpy nearest as last resort.
+    """
     if img.shape[:2] == tuple(hw):
         return img
+    from ..native import resize_batch
+    out = resize_batch(img[None].astype(np.float32, copy=False), hw, n_threads=1)
+    if out is not None:
+        return out[0]
     if _HAS_PIL:
         p = pil.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8))
-        p = p.resize((hw[1], hw[0]), pil.LANCZOS)
+        p = p.resize((hw[1], hw[0]), pil.BILINEAR)
         return np.asarray(p).astype(np.float32) / 255.0
     # numpy fallback: nearest
     ys = (np.arange(hw[0]) * img.shape[0] / hw[0]).astype(int)
     xs = (np.arange(hw[1]) * img.shape[1] / hw[1]).astype(int)
     return img[ys][:, xs]
+
+
+def resize_images_batch(imgs: np.ndarray, hw: Tuple[int, int],
+                        n_threads: int = 4) -> np.ndarray:
+    """Batched multi-camera resize [N, H, W, 3] via the native lib."""
+    if imgs.shape[1:3] == tuple(hw):
+        return imgs.astype(np.float32, copy=False)
+    from ..native import resize_batch
+    out = resize_batch(imgs, hw, n_threads=n_threads)
+    if out is not None:
+        return out
+    return np.stack([resize_image(im, hw) for im in imgs])
 
 
 def resize_mask(mask: np.ndarray, hw: Tuple[int, int]) -> np.ndarray:
@@ -121,7 +141,7 @@ def assemble_sample(
     do_jitter = any(j > 0 for j in jitter)
     sample: Dict[str, np.ndarray] = {}
     for f, imgs in images.items():
-        resized = np.stack([resize_image(imgs[c], hw) for c in range(cams)])
+        resized = resize_images_batch(imgs, hw)
         sample[color_key(f, 0)] = resized
         if do_jitter:
             sample[color_key(f, 0, aug=True)] = np.stack(
@@ -130,10 +150,10 @@ def assemble_sample(
             sample[color_key(f, 0, aug=True)] = resized
     for s in range(1, n_scales):
         hs, ws = h // (2 ** s), w // (2 ** s)
-        sample[color_key(0, s)] = np.stack(
-            [resize_image(sample[color_key(0, 0)][c], (hs, ws)) for c in range(cams)])
-        sample[color_key(0, s, aug=True)] = np.stack(
-            [resize_image(sample[color_key(0, 0, True)][c], (hs, ws)) for c in range(cams)])
+        sample[color_key(0, s)] = resize_images_batch(
+            sample[color_key(0, 0)], (hs, ws))
+        sample[color_key(0, s, aug=True)] = resize_images_batch(
+            sample[color_key(0, 0, True)], (hs, ws))
 
     sample.update(build_intrinsics_pyramid(k0, n_scales))
     sample["extrinsics"] = extrinsics.astype(np.float32)

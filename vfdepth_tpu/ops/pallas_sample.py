@@ -31,7 +31,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .matmul_sample import _tap_weights  # noqa: F401 (XLA fallback shares tap math)
 
+# points per W-build/matmul sub-tile and sub-tiles per grid step. Grid-step
+# overhead on TPU is ~10-15 us; the inner fori_loop amortizes it 8x while
+# keeping W at a VMEM-friendly [512, h*w].
 _TILE_N = 256
+_SUPER = 16
+_BLOCK_N = _TILE_N * _SUPER
 
 
 def _y_expansion(h: int, w: int) -> jnp.ndarray:
@@ -85,32 +90,45 @@ def _separable_w(coords: jnp.ndarray, ey_ref, h: int, w: int) -> jnp.ndarray:
 
 
 def _fwd_kernel(h: int, w: int, img_ref, coords_ref, ey_ref, out_ref):
-    """img [h*w, C]; coords [TILE_N, 2]; out [TILE_N, C]."""
-    w_mat = _separable_w(coords_ref[:], ey_ref, h, w)
-    out_ref[:] = jnp.dot(w_mat, img_ref[:].astype(jnp.bfloat16),
-                         preferred_element_type=jnp.float32).astype(out_ref.dtype)
+    """img [h*w, C]; coords [BLOCK_N, 2]; out [BLOCK_N, C]."""
+    img_bf16 = img_ref[:].astype(jnp.bfloat16)
+
+    def body(k, _):
+        sl = pl.ds(k * _TILE_N, _TILE_N)
+        w_mat = _separable_w(coords_ref[sl, :], ey_ref, h, w)
+        out_ref[sl, :] = jnp.dot(w_mat, img_bf16,
+                                 preferred_element_type=jnp.float32
+                                 ).astype(out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, _SUPER, body, 0)
 
 
 def _bwd_kernel(h: int, w: int, g_ref, coords_ref, ey_ref, out_ref):
-    """g [TILE_N, C]; out (accumulator) [h*w, C]. Grid dim 1 iterates tiles."""
+    """g [BLOCK_N, C]; out (accumulator) [h*w, C]. Grid dim 1 iterates blocks."""
     step = pl.program_id(1)
 
     @pl.when(step == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    w_mat = _separable_w(coords_ref[:], ey_ref, h, w)
-    # contract the tile axis without materializing a transposed W copy
-    contrib = jax.lax.dot_general(
-        w_mat, g_ref[:].astype(jnp.bfloat16),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    out_ref[:] += contrib.astype(out_ref.dtype)
+    def body(k, _):
+        sl = pl.ds(k * _TILE_N, _TILE_N)
+        w_mat = _separable_w(coords_ref[sl, :], ey_ref, h, w)
+        # contract the tile axis without materializing a transposed W copy
+        contrib = jax.lax.dot_general(
+            w_mat, g_ref[sl, :].astype(jnp.bfloat16),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out_ref[:] += contrib.astype(out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, _SUPER, body, 0)
 
 
 def _pad_pts(x: jnp.ndarray):
     n = x.shape[1]
-    pad = (-n) % _TILE_N
+    pad = (-n) % _BLOCK_N
     if pad:
         # pad with -2 (out of range -> zero weights), not 0 (a valid coord)
         x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)), constant_values=-2.0)
@@ -121,7 +139,7 @@ def _fwd_call(img_flat: jnp.ndarray, coords: jnp.ndarray, h: int, w: int):
     """img_flat [B, h*w, C]; coords [B, N, 2] -> [B, N, C]."""
     b, hw, c = img_flat.shape
     coords_p, n = _pad_pts(coords)
-    n_tiles = coords_p.shape[1] // _TILE_N
+    n_tiles = coords_p.shape[1] // _BLOCK_N
 
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, h, w),
@@ -129,12 +147,12 @@ def _fwd_call(img_flat: jnp.ndarray, coords: jnp.ndarray, h: int, w: int):
         in_specs=[
             pl.BlockSpec((None, hw, c), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, _TILE_N, 2), lambda i, j: (i, j, 0),
+            pl.BlockSpec((None, _BLOCK_N, 2), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((h, hw), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((None, _TILE_N, c), lambda i, j: (i, j, 0),
+        out_specs=pl.BlockSpec((None, _BLOCK_N, c), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, coords_p.shape[1], c), img_flat.dtype),
         interpret=(jax.default_backend() != "tpu"),
@@ -145,19 +163,19 @@ def _fwd_call(img_flat: jnp.ndarray, coords: jnp.ndarray, h: int, w: int):
 def _bwd_call(g: jnp.ndarray, coords: jnp.ndarray, h: int, w: int):
     """g [B, N, C] -> dimg_flat [B, h*w, C]."""
     b, n, c = g.shape
-    pad = (-n) % _TILE_N
+    pad = (-n) % _BLOCK_N
     if pad:
         g = jnp.pad(g, ((0, 0), (0, pad), (0, 0)))
     coords_p, _ = _pad_pts(coords)
-    n_tiles = coords_p.shape[1] // _TILE_N
+    n_tiles = coords_p.shape[1] // _BLOCK_N
 
     return pl.pallas_call(
         functools.partial(_bwd_kernel, h, w),
         grid=(b, n_tiles),
         in_specs=[
-            pl.BlockSpec((None, _TILE_N, c), lambda i, j: (i, j, 0),
+            pl.BlockSpec((None, _BLOCK_N, c), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, _TILE_N, 2), lambda i, j: (i, j, 0),
+            pl.BlockSpec((None, _BLOCK_N, 2), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((h, h * w), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),

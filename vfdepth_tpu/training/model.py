@@ -143,9 +143,24 @@ class VFDepthModel:
                 r2, pack_cam_feat(batch["color_aug/0/0"]),
                 pack_cam_feat(batch[f"color_aug/{f_next}/0"]), train=False)
 
-        params = {"depth_net": dvars["params"], "pose_net": pvars["params"]}
-        batch_stats = {"depth_net": dvars.get("batch_stats", {}),
-                       "pose_net": pvars.get("batch_stats", {})}
+        params = {"depth_net": dict(dvars["params"]), "pose_net": dict(pvars["params"])}
+        batch_stats = {"depth_net": dict(dvars.get("batch_stats", {})),
+                       "pose_net": dict(pvars.get("batch_stats", {}))}
+
+        # ImageNet init of the ResNet encoders (reference weights_init: True);
+        # gated on a locally available weight file (no egress in this env)
+        if self.cfg.get("weights_init", False):
+            from ..models.torchvision_init import load_resnet_encoder_params
+            for name, n_imgs in (("depth_net", 1), ("pose_net", 2)):
+                if "encoder" in params[name]:
+                    p, s = load_resnet_encoder_params(
+                        dict(params[name]["encoder"]),
+                        dict(batch_stats[name].get("encoder", {})),
+                        num_layers=self.cfg.num_layers,
+                        num_input_images=n_imgs)
+                    params[name]["encoder"] = p
+                    if "encoder" in batch_stats[name]:
+                        batch_stats[name]["encoder"] = s
         return params, batch_stats
 
     # ------------------------------------------------------------------
@@ -235,8 +250,14 @@ class VFDepthModel:
         return depth * fx[..., None] / self.focal_length_scale
 
     # ------------------------------------------------------------------
-    def forward(self, params, stats, batch, rng, train: bool = True):
-        """Full pipeline -> (outputs, (loss, logs), new_stats)."""
+    def forward(self, params, stats, batch, rng, train: bool = True,
+                return_renders: bool = False):
+        """Full pipeline -> (outputs, (loss, logs), new_stats).
+
+        ``return_renders`` additionally attaches the scale-0 warped views
+        (temporal/overlap images + masks, reprojection maps) to outputs for
+        the TB image panels at validation time.
+        """
         rng_noise, rng_aug = jax.random.split(rng)
 
         if "extrinsics_inv" not in batch:
@@ -283,5 +304,14 @@ class VFDepthModel:
             if disps_aug is not None:
                 outputs[f"disp/{s}/aug"] = disps_aug[s]
                 outputs[f"depth/{s}/aug"] = depths_aug[s]
+        if return_renders:
+            r0 = rendered[min(self.scales)]
+            outputs["temporal_img"] = r0.temporal_img
+            outputs["temporal_mask"] = r0.temporal_mask
+            if r0.overlap_img is not None:
+                outputs["overlap_img"] = r0.overlap_img
+                outputs["overlap_mask"] = r0.overlap_mask
+            outputs["reproj_map"] = logs.get("reproj_map")
+            outputs["reproj_mask"] = logs.get("reproj_mask")
         new_stats = {"depth_net": dstats, "pose_net": pstats}
         return outputs, (loss, logs), new_stats

@@ -79,12 +79,13 @@ def build_train_step(model: VFDepthModel, tx: optax.GradientTransformation,
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
-def build_eval_step(model: VFDepthModel):
+def build_eval_step(model: VFDepthModel, return_renders: bool = False):
     """Returns jitted eval_step(state, batch, rng) -> (outputs, logs)."""
 
     def eval_step(state: TrainState, batch, rng):
         outputs, (loss, logs), _ = model.forward(
-            state.params, state.batch_stats, batch, rng, train=False)
+            state.params, state.batch_stats, batch, rng, train=False,
+            return_renders=return_renders)
         return outputs, {k: v for k, v in logs.items()
                          if hasattr(v, "ndim") and v.ndim == 0}
 

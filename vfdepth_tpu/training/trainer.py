@@ -64,7 +64,8 @@ class Trainer:
                                     self.cfg.models_to_load, load_optimizer=True)
 
         train_step = build_train_step(self.model, tx)
-        eval_step = build_eval_step(self.model) if val_loader is not None else None
+        eval_step = (build_eval_step(self.model, return_renders=True)
+                     if val_loader is not None else None)
         val_iter = iter(val_loader) if val_loader is not None else None
 
         step = int(state.step)

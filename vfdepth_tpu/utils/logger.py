@@ -86,13 +86,19 @@ class Logger:
     def log_images(self, mode: str, batch: Dict[str, np.ndarray],
                    outputs: Dict[str, np.ndarray], step: int,
                    sample: int = 0) -> None:
-        """Per-camera TB image panels (half-res like the reference's
-        ``resize_for_tb``). All tensors NHWC numpy."""
+        """Per-camera TB image panels — the reference's full panel set
+        (``utils/logger.py:138-170``): input, colormapped disparity,
+        reprojection loss/mask, self-occlusion mask, spatio overlap +
+        mask, per-context-frame predicted and spatio-temporal overlap
+        images, and the augmented-view disparity when present.
+        Half-res like the reference's ``resize_for_tb``; NHWC numpy."""
         writer = self.writers.get(mode)
         if writer is None:
             return
 
         def add_img(title, img_hwc):
+            if img_hwc.shape[-1] == 1:
+                img_hwc = np.repeat(img_hwc, 3, -1)
             img = np.clip(img_hwc[::2, ::2], 0.0, 1.0)
             writer.add_image(title, img.transpose(2, 0, 1), step)
 
@@ -102,7 +108,27 @@ class Logger:
         for cam in range(self.num_cams):
             add_img(f"cam/{cam}", color[sample, cam])
             add_img(f"cam/{cam}/disp", colormap(disp[sample, cam, ..., 0]))
-            add_img(f"cam/{cam}/self_occ_mask", np.repeat(mask[sample, cam], 3, -1))
+            add_img(f"cam/{cam}/self_occ_mask", mask[sample, cam])
+            if "reproj_map" in outputs:
+                add_img(f"cam/{cam}/reproj",
+                        np.asarray(outputs["reproj_map"])[sample, cam])
+                add_img(f"cam/{cam}/reproj_mask",
+                        np.asarray(outputs["reproj_mask"])[sample, cam])
+            if "overlap_img" in outputs:
+                ov = np.asarray(outputs["overlap_img"])[sample, cam]
+                ovm = np.asarray(outputs["overlap_mask"])[sample, cam]
+                add_img(f"cam/{cam}/sp", ov[0])
+                add_img(f"cam/{cam}/sp_mask", ovm[0])
+                for fi in range(1, ov.shape[0]):
+                    add_img(f"cam/{cam}/sp_tm_{fi}", ov[fi])
+                    add_img(f"cam/{cam}/sp_tm_mask_{fi}", ovm[fi])
+            if "temporal_img" in outputs:
+                ti = np.asarray(outputs["temporal_img"])[sample, cam]
+                for fi in range(ti.shape[0]):
+                    add_img(f"cam/{cam}/pred_{fi}", ti[fi])
+            if "disp/0/aug" in outputs:
+                add_img(f"view_aug/{cam}",
+                        colormap(np.asarray(outputs["disp/0/aug"])[sample, cam, ..., 0]))
 
     def log_result(self, outputs: Dict[str, np.ndarray], idx: int,
                    syn_visualize: bool = False) -> None:
