@@ -32,7 +32,7 @@ import flax.linen as nn
 from .blocks import ConvBlock, PointwiseBlock, pack_cam_feat, unpack_cam_feat
 from ..geometry.projection import voxel_points_homo, frustum_world_points
 from ..geometry.se3 import axis_angle_to_matrix
-from ..ops.grid_sample import grid_sample_2d, grid_sample_3d
+from ..ops.grid_sample import grid_sample_2d, grid_sample_3d_nocoordgrad
 from ..ops.resize import resize_bilinear
 
 
@@ -211,7 +211,7 @@ class VFNet(nn.Module):
             jnp.array(self.voxel_size, dtype=geo) - 1.0)
         ndc = (world - str_p) / (end_p - str_p) * 2.0 - 1.0
 
-        sampled = grid_sample_3d(vol, ndc)  # [b, cams, d, P, C]
+        sampled = grid_sample_3d_nocoordgrad(vol, ndc)  # [b, cams, d, P, C]
         d, p = self.proj_d_bins, self.img_h * self.img_w
         # -> [b, cams, h, w, d*C]; channel ordering is internal to the learned
         # reduction convs so the exact (d, C) interleave need not match torch.

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -107,6 +108,79 @@ def grid_sample_2d(
         fmask = finite.astype(img.dtype).reshape(batch_shape + pts_shape + (1,))
         return out, fmask
     return out
+
+
+def _trilinear_taps(vol_shape, coords):
+    """Shared tap computation: [..., N, 3] coords -> idx [..., N, 8] flat
+    indices into d*h*w and weights [..., N, 8] (zeros for invalid taps)."""
+    d, h, w = vol_shape
+    finite = jnp.all(jnp.isfinite(coords), axis=-1)
+    coords = jnp.where(finite[..., None], coords, -2.0)
+    x = _unnormalize(coords[..., 0], w)
+    y = _unnormalize(coords[..., 1], h)
+    z = _unnormalize(coords[..., 2], d)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    z0 = jnp.floor(z)
+    wx = x - x0
+    wy = y - y0
+    wz = z - z0
+    ix0 = x0.astype(jnp.int32)
+    iy0 = y0.astype(jnp.int32)
+    iz0 = z0.astype(jnp.int32)
+
+    idxs, wgts = [], []
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                ix, iy, iz = ix0 + dx, iy0 + dy, iz0 + dz
+                valid = ((ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+                         & (iz >= 0) & (iz < d))
+                idx = (jnp.clip(iz, 0, d - 1) * h + jnp.clip(iy, 0, h - 1)) * w \
+                    + jnp.clip(ix, 0, w - 1)
+                wgt = ((wx if dx else 1 - wx) * (wy if dy else 1 - wy)
+                       * (wz if dz else 1 - wz)) * valid
+                idxs.append(idx)
+                wgts.append(wgt)
+    return jnp.stack(idxs, axis=-1), jnp.stack(wgts, axis=-1)
+
+
+@jax.custom_vjp
+def grid_sample_3d_nocoordgrad(vol: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Trilinear sample with coords treated as constants (no coord gradient).
+
+    The voxel->frustum reprojection's coordinates come from calibration
+    constants (reference ``volumetric_fusionnet.py:243-261``), so only
+    d/d(vol) is needed. The custom VJP emits ONE fused scatter-add of all
+    8 taps instead of autodiff's 8 separate scatters (~2-4x faster backward
+    on TPU, where scatters dominate).
+
+    vol: [B, D, H, W, C]; coords: [B, *pts, 3]. Returns [B, *pts, C].
+    """
+    return grid_sample_3d(vol, coords)
+
+
+def _gs3d_fwd(vol, coords):
+    return grid_sample_3d(vol, coords), (coords, vol.shape)
+
+
+def _gs3d_bwd(res, g):
+    coords, vol_shape = res
+    b = vol_shape[0]
+    d, h, w, c = vol_shape[1], vol_shape[2], vol_shape[3], vol_shape[4]
+    coords_flat = coords.reshape(b, -1, 3)
+    g_flat = g.reshape(b, -1, c)
+    idx, wgt = _trilinear_taps((d, h, w), coords_flat)  # [b, n, 8]
+    n = idx.shape[1]
+    updates = (g_flat[:, :, None, :] * wgt[..., None].astype(g.dtype))
+    updates = updates.reshape(b, n * 8, c)
+    idx_all = idx.reshape(b, n * 8)
+    dvol = jnp.zeros((b, d * h * w, c), g.dtype)
+    dvol = jax.vmap(lambda acc, i, u: acc.at[i].add(u))(dvol, idx_all, updates)
+    return dvol.reshape(vol_shape), jnp.zeros_like(coords)
+
+
+grid_sample_3d_nocoordgrad.defvjp(_gs3d_fwd, _gs3d_bwd)
 
 
 def grid_sample_3d(vol: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:

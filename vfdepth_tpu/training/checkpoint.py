@@ -38,16 +38,16 @@ def save_checkpoint(save_root: str, epoch: int, state: TrainState) -> str:
 def load_checkpoint(load_dir: str, state: TrainState,
                     models_to_load: Optional[List[str]] = None,
                     load_optimizer: bool = True) -> TrainState:
-    """Restore (a subset of) networks into ``state`` from ``load_dir``."""
+    """Restore (a subset of) networks into ``state`` from ``load_dir``.
+
+    Restores without a target template: the optimizer-state pytree structure
+    can legitimately differ between save and load time (e.g. a training
+    schedule vs a constant-LR eval optimizer), and ``models_to_load`` may
+    name only a subset of networks.
+    """
     path = os.path.abspath(load_dir)
     ckptr = ocp.StandardCheckpointer()
-    template = {
-        "step": state.step,
-        "params": state.params,
-        "batch_stats": state.batch_stats,
-        "opt_state": state.opt_state,
-    }
-    restored = ckptr.restore(path, target=template)
+    restored = ckptr.restore(path)
 
     if models_to_load is None:
         models_to_load = list(state.params.keys())
@@ -61,9 +61,22 @@ def load_checkpoint(load_dir: str, state: TrainState,
     opt_state = state.opt_state
     step = state.step
     if load_optimizer:
+        # reshape the raw saved leaves into the live optimizer's pytree; a
+        # structure mismatch (different schedule etc.) falls back to a fresh
+        # optimizer, mirroring the reference's graceful adam-load fallback
+        # (models/base_model.py:84-93)
         try:
-            opt_state = restored["opt_state"]
-            step = restored["step"]
-        except (KeyError, TypeError):  # pragma: no cover - graceful fallback
-            pass
+            cur_leaves = jax.tree_util.tree_leaves(state.opt_state)
+            new_leaves = jax.tree_util.tree_leaves(restored.get("opt_state"))
+            if len(cur_leaves) == len(new_leaves):
+                treedef = jax.tree_util.tree_structure(state.opt_state)
+                opt_state = jax.tree_util.tree_unflatten(treedef, new_leaves)
+                if "step" in restored:
+                    step = np.asarray(restored["step"])
+            else:
+                print("\tCannot load optimizer state (structure changed) - "
+                      "the optimizer will be freshly initialized")
+        except Exception:  # pragma: no cover - graceful fallback
+            print("\tCannot load optimizer state - the optimizer will be "
+                  "freshly initialized")
     return TrainState(step, params, stats, opt_state)

@@ -68,13 +68,19 @@ class Trainer:
                      if val_loader is not None else None)
         val_iter = iter(val_loader) if val_loader is not None else None
 
+        from ..data.loader import device_prefetch
+        prefetch_depth = self.cfg.get("prefetch_depth", 2)
+
         step = int(state.step)
         start_time = time.time()
         for epoch in range(self.num_epochs):
+            if hasattr(train_loader, "set_epoch"):
+                train_loader.set_epoch(epoch)
             epoch_iter = train_iter if epoch == 0 else iter(train_loader)
+            # overlap host->device transfer with the device step
+            epoch_iter = device_prefetch(epoch_iter, size=prefetch_depth)
             for batch_idx, batch in enumerate(epoch_iter):
                 before = time.time()
-                batch = jax.tree_util.tree_map(jnp.asarray, batch)
                 state, logs = train_step(state, batch, rng)
 
                 if self.logger.is_checkpoint(step):
