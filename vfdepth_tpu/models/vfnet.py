@@ -101,7 +101,12 @@ class VFNet(nn.Module):
         extrinsics_inv: jnp.ndarray,  # [b, cams, 4, 4]
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Returns per-camera voxel features [b, cams, n, C+1], validity
-        [b, cams, n, 1], and visibility count [b, n, 1]."""
+        [b, cams, n], and visibility count [b, n].
+
+        Mask/validity tensors deliberately carry NO trailing singleton
+        channel: a stored [..., n, 1] array is tiled (8, 128) on its last two
+        dims on TPU, padding the 1 out to 128 (64-128x HBM blowup — this was
+        an observed OOM at batch 2)."""
         h_dim, w_dim = feats_agg.shape[-3], feats_agg.shape[-2]
         dtype = feats_agg.dtype
         # geometry stays f32 even under bf16 mixed precision: bf16 pixel
@@ -127,12 +132,14 @@ class VFNet(nn.Module):
         scale = jnp.array([2.0 / (w_dim - 1), 2.0 / (h_dim - 1)], dtype=geo)
         pix = jnp.moveaxis(xy * scale[:, None] - 1.0, -2, -1)  # [b, cams, n, 2]
 
-        # validity: occlusion mask (nearest), in-front, in-bounds (:183-195)
+        # validity: occlusion mask (nearest), in-front, in-bounds (:183-195);
+        # no gradient flows through the mask (it's an input)
         mask_lowres = resize_bilinear(mask, (h_dim, w_dim), align_corners=True)
-        m = grid_sample_2d(mask_lowres, pix, mode="nearest")  # [b, cams, n, 1]
-        in_front = (v_local[..., 2, :] > 0)[..., None]
-        in_bounds = jnp.all((pix >= -1.0) & (pix <= 1.0), axis=-1, keepdims=True)
-        valid = ((m > 0.5) & in_front & in_bounds).astype(dtype)
+        m = jax.lax.stop_gradient(
+            grid_sample_2d(mask_lowres, pix, mode="nearest"))[..., 0]
+        in_front = v_local[..., 2, :] > 0
+        in_bounds = jnp.all((pix >= -1.0) & (pix <= 1.0), axis=-1)
+        valid = ((m > 0.5) & in_front & in_bounds).astype(dtype)  # [b, cams, n]
 
         # feature sampling: Pallas one-hot-matmul kernel on TPU (the XLA
         # gather/scatter pair costs ~180 ms fwd+bwd and minutes of compile;
@@ -150,9 +157,9 @@ class VFNet(nn.Module):
             feat = grid_sample_2d(feats_agg, pix, mode="bilinear")  # [b, cams, n, C]
         # append normalized camera-frame depth as a feature (:145)
         rel_depth = (v_local[..., 2, :][..., None] / self.voxel_size[0]).astype(dtype)
-        feat = jnp.concatenate([feat, rel_depth], axis=-1) * valid
+        feat = jnp.concatenate([feat, rel_depth], axis=-1) * valid[..., None]
 
-        count = jnp.sum(valid, axis=1)  # [b, n, 1]
+        count = jnp.sum(valid, axis=1)  # [b, n]
         return feat, valid, count
 
     def fuse_depth(self, feat: jnp.ndarray, count: jnp.ndarray) -> jnp.ndarray:
@@ -164,7 +171,7 @@ class VFNet(nn.Module):
         """
         dtype = feat.dtype
         total = jnp.sum(feat, axis=1)  # [b, n, C+1]
-        non_overlap_mask = (count == 1).astype(dtype)
+        non_overlap_mask = (count == 1).astype(dtype)[..., None]  # [b, n, 1]
         x_no = total * non_overlap_mask
         for blk in self.conv_non_overlap:
             x_no = blk(x_no)
@@ -175,7 +182,7 @@ class VFNet(nn.Module):
         g2 = [c for c in g2 if c < self.num_cams]
         feat1 = jnp.sum(feat[:, jnp.asarray(g1)], axis=1)
         feat2 = jnp.sum(feat[:, jnp.asarray(g2)], axis=1)
-        overlap_mask = (count == 2).astype(dtype)
+        overlap_mask = (count == 2).astype(dtype)[..., None]
         x_o = jnp.concatenate([feat1, feat2], axis=-1)
         for blk in self.conv_overlap:
             x_o = blk(x_o)
@@ -264,7 +271,7 @@ class VFNet(nn.Module):
             return out
 
         # pose: visibility-weighted mean over cameras (reference :160-162)
-        voxel_feat = jnp.sum(feat, axis=1) / (count + 1e-7)
+        voxel_feat = jnp.sum(feat, axis=1) / (count[..., None] + 1e-7)
         return {"bev_feat": self.bev_from_voxel(voxel_feat, train)}
 
 

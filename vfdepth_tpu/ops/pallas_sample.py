@@ -34,7 +34,7 @@ from .matmul_sample import _tap_weights  # noqa: F401 (XLA fallback shares tap m
 # points per W-build/matmul sub-tile and sub-tiles per grid step. Grid-step
 # overhead on TPU is ~10-15 us; the inner fori_loop amortizes it 8x while
 # keeping W at a VMEM-friendly [512, h*w].
-_TILE_N = 256
+_TILE_N = 128
 _SUPER = 16
 _BLOCK_N = _TILE_N * _SUPER
 
@@ -90,8 +90,8 @@ def _separable_w(coords: jnp.ndarray, ey_ref, h: int, w: int) -> jnp.ndarray:
 
 
 def _fwd_kernel(h: int, w: int, img_ref, coords_ref, ey_ref, out_ref):
-    """img [h*w, C]; coords [BLOCK_N, 2]; out [BLOCK_N, C]."""
-    img_bf16 = img_ref[:].astype(jnp.bfloat16)
+    """img (bf16) [h*w, C]; coords [BLOCK_N, 2]; out [BLOCK_N, C]."""
+    img_bf16 = img_ref[:]
 
     def body(k, _):
         sl = pl.ds(k * _TILE_N, _TILE_N)
@@ -117,7 +117,7 @@ def _bwd_kernel(h: int, w: int, g_ref, coords_ref, ey_ref, out_ref):
         w_mat = _separable_w(coords_ref[sl, :], ey_ref, h, w)
         # contract the tile axis without materializing a transposed W copy
         contrib = jax.lax.dot_general(
-            w_mat, g_ref[sl, :].astype(jnp.bfloat16),
+            w_mat, g_ref[sl, :],
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         out_ref[:] += contrib.astype(out_ref.dtype)
@@ -141,6 +141,9 @@ def _fwd_call(img_flat: jnp.ndarray, coords: jnp.ndarray, h: int, w: int):
     coords_p, n = _pad_pts(coords)
     n_tiles = coords_p.shape[1] // _BLOCK_N
 
+    # cast outside the kernel: a separate f32 source + bf16 copy inside VMEM
+    # was the difference between fitting and a scoped-vmem OOM
+    img_flat = img_flat.astype(jnp.bfloat16)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, h, w),
         grid=(b, n_tiles),
@@ -154,7 +157,7 @@ def _fwd_call(img_flat: jnp.ndarray, coords: jnp.ndarray, h: int, w: int):
         ],
         out_specs=pl.BlockSpec((None, _BLOCK_N, c), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, coords_p.shape[1], c), img_flat.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, coords_p.shape[1], c), jnp.bfloat16),
         interpret=(jax.default_backend() != "tpu"),
     )(img_flat, coords_p, _y_expansion(h, w))
     return out[:, :n]
@@ -169,6 +172,7 @@ def _bwd_call(g: jnp.ndarray, coords: jnp.ndarray, h: int, w: int):
     coords_p, _ = _pad_pts(coords)
     n_tiles = coords_p.shape[1] // _BLOCK_N
 
+    g = g.astype(jnp.bfloat16)  # halves the VMEM block (accumulator stays f32)
     return pl.pallas_call(
         functools.partial(_bwd_kernel, h, w),
         grid=(b, n_tiles),
@@ -182,7 +186,7 @@ def _bwd_call(g: jnp.ndarray, coords: jnp.ndarray, h: int, w: int):
         ],
         out_specs=pl.BlockSpec((None, h * w, c), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h * w, c), g.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h * w, c), jnp.float32),
         interpret=(jax.default_backend() != "tpu"),
     )(g, coords_p, _y_expansion(h, w))
 
@@ -191,7 +195,9 @@ def _bwd_call(g: jnp.ndarray, coords: jnp.ndarray, h: int, w: int):
 def _pallas_sample(img: jnp.ndarray, coords: jnp.ndarray):
     h, w = img.shape[-3], img.shape[-2]
     img_flat = img.reshape(img.shape[0], h * w, img.shape[-1])
-    return _fwd_call(img_flat, coords, h, w)
+    # kernel emits bf16 (taps/matmuls are bf16 anyway; halves the VMEM
+    # out-block, which was a 292KB scoped-vmem OOM); promote at the boundary
+    return _fwd_call(img_flat, coords, h, w).astype(img.dtype)
 
 
 def _pallas_sample_fwd(img, coords):
@@ -202,8 +208,19 @@ def _pallas_sample_fwd(img, coords):
 def _pallas_sample_bwd(res, g):
     coords, img_shape = res
     h, w = img_shape[-3], img_shape[-2]
-    dimg_flat = _bwd_call(g, coords, h, w)
-    return dimg_flat.reshape(img_shape), jnp.zeros_like(coords)
+    c = img_shape[-1]
+    # split the channel axis across two kernel launches: the f32 accumulator
+    # block is double-buffered by the pipeline and a full-width [h*w, C]
+    # accumulator pushes scoped VMEM ~250KB over the 16MB limit
+    if c > 160:
+        half = (c // 2 + 127) // 128 * 128 if c // 2 >= 128 else c // 2
+        half = min(max(half, 1), c - 1)
+        d1 = _bwd_call(g[..., :half], coords, h, w)
+        d2 = _bwd_call(g[..., half:], coords, h, w)
+        dimg_flat = jnp.concatenate([d1, d2], axis=-1)
+    else:
+        dimg_flat = _bwd_call(g, coords, h, w)
+    return dimg_flat.reshape(img_shape).astype(g.dtype), jnp.zeros_like(coords)
 
 
 _pallas_sample.defvjp(_pallas_sample_fwd, _pallas_sample_bwd)

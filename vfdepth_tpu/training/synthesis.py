@@ -19,9 +19,12 @@ from ..models.nets import FusedDepthNet
 from ..utils.visualize import aug_depth_params
 
 
-def synthesize_sweep(model, params, stats, batch, n_steps: int = 75
-                     ) -> List[np.ndarray]:
-    """Returns a list of [b, H', W', 1] disparities, one per sweep view."""
+def synthesize_sweep(model, params, stats, batch, n_steps: int = 75,
+                     max_views: int | None = None) -> List[np.ndarray]:
+    """Returns a list of [b, H', W', 1] disparities, one per sweep view.
+
+    ``max_views`` caps the sweep (testing / quick previews); None renders
+    the full ~788-view scripted trajectory."""
     net = model.depth_net
     assert isinstance(net, FusedDepthNet), "sweep requires the fusion depth net"
     variables = {"params": params["depth_net"],
@@ -38,7 +41,10 @@ def synthesize_sweep(model, params, stats, batch, n_steps: int = 75
                       batch[f"K/{lev + 1}"], batch["extrinsics_inv"])
 
     disps = []
-    for inv_k_aug, ax, ay, az in aug_depth_params(k, n_steps):
+    params_list = aug_depth_params(k, n_steps)
+    if max_views is not None:
+        params_list = params_list[:max_views]
+    for inv_k_aug, ax, ay, az in params_list:
         rot = jnp.asarray([ax, ay, az], dtype=jnp.float32)
         disp = decode(variables, voxel_feat, jnp.asarray(inv_k_aug, jnp.float32),
                       rot, batch["extrinsics"])
