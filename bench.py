@@ -20,25 +20,20 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-BASELINE_STEPS_PER_SEC = 1.0  # estimated A100 DDP per-GPU steps/s (batch 2)
+# Estimated reference throughput: torch DDP on A100 at per-GPU batch 2
+# (configs/ddad/ddad_surround_fusion_ddp.yaml) ~= 1.0 steps/s -> 2.0
+# 6-camera samples/s per GPU. The reference publishes no throughput numbers.
+BASELINE_SAMPLES_PER_SEC = 2.0
 
 
-def main():
+def run_bench(batch_size, height, width, n_steps, use_bf16):
     import jax
-    from vfdepth_tpu.utils.jax_setup import enable_compilation_cache
-    enable_compilation_cache()
     import jax.numpy as jnp
 
     from vfdepth_tpu.config import Config, get_relcam, DDAD_CAM_LIST
     from vfdepth_tpu.data.fake import FakeDataset
     from vfdepth_tpu.training.model import VFDepthModel
     from vfdepth_tpu.training.step import create_train_state, build_train_step
-
-    batch_size = int(os.environ.get("BENCH_BATCH", "2"))
-    height = int(os.environ.get("BENCH_HEIGHT", "384"))
-    width = int(os.environ.get("BENCH_WIDTH", "640"))
-    n_steps = int(os.environ.get("BENCH_STEPS", "10"))
-    use_bf16 = os.environ.get("BENCH_BF16", "1") == "1"
 
     cameras = DDAD_CAM_LIST
     cfg = Config({
@@ -87,14 +82,37 @@ def main():
     for _ in range(n_steps):
         state, logs = train_step(state, batch, rng)
     jax.block_until_ready(logs["total_loss"])
-    dt = (time.time() - t0) / n_steps
+    return (time.time() - t0) / n_steps
 
-    steps_per_sec = 1.0 / dt
+
+def main():
+    from vfdepth_tpu.utils.jax_setup import enable_compilation_cache
+    enable_compilation_cache()
+
+    batch_size = int(os.environ.get("BENCH_BATCH", "2"))
+    height = int(os.environ.get("BENCH_HEIGHT", "384"))
+    width = int(os.environ.get("BENCH_WIDTH", "640"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "10"))
+    use_bf16 = os.environ.get("BENCH_BF16", "1") == "1"
+
+    dt = None
+    for bs in (batch_size, 1):
+        try:
+            dt = run_bench(bs, height, width, n_steps, use_bf16)
+            batch_size = bs
+            break
+        except Exception as e:  # HBM OOM at larger batch: fall back
+            sys.stderr.write(f"bench at batch {bs} failed: {str(e)[:200]}\n")
+            if bs == 1:
+                raise
+
+    samples_per_sec = batch_size / dt
     print(json.dumps({
-        "metric": "6cam_train_steps_per_sec_per_chip",
-        "value": round(steps_per_sec, 4),
-        "unit": f"steps/s (batch {batch_size}, 6 cams, {height}x{width})",
-        "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 3),
+        "metric": "6cam_samples_per_sec_per_chip",
+        "value": round(samples_per_sec, 4),
+        "unit": f"6-camera framesets/s (batch {batch_size}, {height}x{width}, "
+                f"{'bf16' if use_bf16 else 'f32'} train step)",
+        "vs_baseline": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC, 3),
     }))
 
 

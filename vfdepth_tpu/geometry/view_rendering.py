@@ -40,13 +40,13 @@ def warp_image(src_img: jnp.ndarray, src_mask: jnp.ndarray,
     Returns (warped_img, warped_mask) with mask already invalidated
     out-of-bounds.
 
-    The image path uses the patch-packed quad warp (one 4C-channel gather
-    each direction instead of ~12 small gathers; see ops/warp_quad.py) —
-    photometric sources are inputs, so only coordinate gradients exist. The
-    mask is nearest-sampled under stop_gradient (nearest has zero coordinate
-    gradient, matching torch grid_sample semantics).
+    The image+mask pair is warped by ONE packed-footprint row-gather
+    (``ops/warp_quad.py``): image channels combine bilinearly, the mask
+    channel with rounded weights (exact nearest, zero coordinate gradient,
+    matching torch). Photometric sources are inputs, so only coordinate
+    gradients exist.
     """
-    from ..ops.warp_quad import warp_image_quad
+    from ..ops.warp_quad import warp_image_mask_quad
 
     coords = project_coords(tar_depth, transform, tar_inv_k, src_k)
     h, w, c = src_img.shape[-3], src_img.shape[-2], src_img.shape[-1]
@@ -54,14 +54,15 @@ def warp_image(src_img: jnp.ndarray, src_mask: jnp.ndarray,
     n_lead = int(np.prod(lead)) if lead else 1
 
     img_flat = src_img.reshape(n_lead, h, w, c)
+    mask_flat = src_mask.reshape(n_lead, h, w, 1)
     coords_flat = coords.reshape(n_lead, -1, 2)
-    img_w = warp_image_quad(img_flat, coords_flat).reshape(lead + (h, w, c))
+    img_w, mask_w = warp_image_mask_quad(img_flat, mask_flat, coords_flat)
+    img_w = img_w.reshape(lead + (h, w, c))
+    mask_w = mask_w.reshape(lead + (h, w, 1))
 
     finite = jnp.all(jnp.isfinite(coords), axis=-1, keepdims=True)
     # NaN coords -> 2.0 (reference :74-78)
     img_w = jnp.where(finite, img_w, 2.0)
-    mask_w = jax.lax.stop_gradient(
-        grid_sample_2d(src_mask, jax.lax.stop_gradient(coords), mode="nearest"))
     mask_w = mask_w * finite.astype(mask_w.dtype)
     in_bounds = jnp.all((coords >= -1.0) & (coords <= 1.0), axis=-1,
                         keepdims=True).astype(src_img.dtype)

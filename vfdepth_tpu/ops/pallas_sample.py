@@ -104,13 +104,18 @@ def _fwd_kernel(h: int, w: int, img_ref, coords_ref, ey_ref, out_ref):
     jax.lax.fori_loop(0, _SUPER, body, 0)
 
 
-def _bwd_kernel(h: int, w: int, g_ref, coords_ref, ey_ref, out_ref):
-    """g [BLOCK_N, C]; out (accumulator) [h*w, C]. Grid dim 1 iterates blocks."""
+def _bwd_kernel(h: int, w: int, g_ref, coords_ref, ey_ref, out_ref, acc_ref):
+    """g [BLOCK_N, C]; out (bf16) [h*w, C]; acc (f32 scratch) [h*w, C].
+
+    The accumulator lives in single-buffered scratch (persists across the
+    sequential grid); the pipelined output block only receives the final
+    value, halving peak VMEM vs accumulating in the (double-buffered) output.
+    """
     step = pl.program_id(1)
 
     @pl.when(step == 0)
     def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
 
     def body(k, _):
         sl = pl.ds(k * _TILE_N, _TILE_N)
@@ -120,10 +125,14 @@ def _bwd_kernel(h: int, w: int, g_ref, coords_ref, ey_ref, out_ref):
             w_mat, g_ref[sl, :],
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        out_ref[:] += contrib.astype(out_ref.dtype)
+        acc_ref[:] += contrib
         return 0
 
     jax.lax.fori_loop(0, _SUPER, body, 0)
+
+    @pl.when(step == pl.num_programs(1) - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
 def _pad_pts(x: jnp.ndarray):
@@ -186,7 +195,8 @@ def _bwd_call(g: jnp.ndarray, coords: jnp.ndarray, h: int, w: int):
         ],
         out_specs=pl.BlockSpec((None, h * w, c), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h * w, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, h * w, c), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((h * w, c), jnp.float32)],
         interpret=(jax.default_backend() != "tpu"),
     )(g, coords_p, _y_expansion(h, w))
 
@@ -208,18 +218,7 @@ def _pallas_sample_fwd(img, coords):
 def _pallas_sample_bwd(res, g):
     coords, img_shape = res
     h, w = img_shape[-3], img_shape[-2]
-    c = img_shape[-1]
-    # split the channel axis across two kernel launches: the f32 accumulator
-    # block is double-buffered by the pipeline and a full-width [h*w, C]
-    # accumulator pushes scoped VMEM ~250KB over the 16MB limit
-    if c > 160:
-        half = (c // 2 + 127) // 128 * 128 if c // 2 >= 128 else c // 2
-        half = min(max(half, 1), c - 1)
-        d1 = _bwd_call(g[..., :half], coords, h, w)
-        d2 = _bwd_call(g[..., half:], coords, h, w)
-        dimg_flat = jnp.concatenate([d1, d2], axis=-1)
-    else:
-        dimg_flat = _bwd_call(g, coords, h, w)
+    dimg_flat = _bwd_call(g, coords, h, w)
     return dimg_flat.reshape(img_shape).astype(g.dtype), jnp.zeros_like(coords)
 
 

@@ -87,6 +87,57 @@ def _combine(taps, ax, ay):
             + (ax0 * ay1)[..., None] * q10 + (ax1 * ay1)[..., None] * q11)
 
 
+def _nearest_axis_weights(w0, w1):
+    """Round the two bilinear channel weights to one-hot -> exact NEAREST
+    sampling through the same gathered footprint (round(x) picks the tap
+    with the larger weight; OOB taps already have weight 0, matching
+    zeros-padding nearest)."""
+    pick1 = (w1 > w0).astype(w0.dtype)
+    any_w = ((w0 + w1) > 0.5).astype(w0.dtype)  # both-zero stays zero
+    return (1 - pick1) * any_w, pick1 * any_w
+
+
+@jax.custom_vjp
+def warp_image_mask_quad(img: jnp.ndarray, mask: jnp.ndarray,
+                         coords: jnp.ndarray):
+    """Jointly warp image (bilinear) + mask (nearest) with ONE row-gather.
+
+    The mask is appended to the packed footprint, so a warp costs a single
+    gather of 4(C+1) channels; the mask channels combine with rounded
+    (one-hot) weights which reproduces nearest sampling exactly. Gradients
+    flow to coords only (through the image channels; nearest has zero
+    coordinate gradient).
+
+    img: [B, H, W, C]; mask: [B, H, W, 1]; coords: [B, N, 2].
+    Returns (img_w [B, N, C], mask_w [B, N, 1]).
+    """
+    b, h, w, c = img.shape
+    quad = build_quad(jnp.concatenate([img, mask.astype(img.dtype)], axis=-1))
+    quad = quad.reshape(b, h * w, 4 * (c + 1))
+    idx, (ax0, ax1, _, _), (ay0, ay1, _, _) = _tap_data(coords, h, w)
+    q00, q01, q10, q11 = _gather_quad(quad, idx, c + 1)
+    img_w = _combine((q00[..., :c], q01[..., :c], q10[..., :c], q11[..., :c]),
+                     (ax0, ax1), (ay0, ay1))
+    nx0, nx1 = _nearest_axis_weights(ax0, ax1)
+    ny0, ny1 = _nearest_axis_weights(ay0, ay1)
+    mask_w = _combine((q00[..., c:], q01[..., c:], q10[..., c:], q11[..., c:]),
+                      (nx0, nx1), (ny0, ny1))
+    return img_w, mask_w
+
+
+def _warp_im_fwd(img, mask, coords):
+    return warp_image_mask_quad(img, mask, coords), (img, coords)
+
+
+def _warp_im_bwd(res, gs):
+    img, coords = res
+    g_img, g_mask = gs  # mask grad contributes nothing to coords (nearest)
+    _, dcoords = _warp_bwd((img, coords), g_img)
+    return (jnp.zeros_like(img),
+            jnp.zeros(img.shape[:-1] + (1,), img.dtype),
+            dcoords)
+
+
 @jax.custom_vjp
 def warp_image_quad(img: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     """Bilinear warp of a constant image; gradient flows to coords only.
@@ -127,3 +178,6 @@ def _warp_bwd(res, g):
 
 
 warp_image_quad.defvjp(_warp_fwd, _warp_bwd)
+
+
+warp_image_mask_quad.defvjp(_warp_im_fwd, _warp_im_bwd)
