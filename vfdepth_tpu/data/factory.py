@@ -25,6 +25,14 @@ def construct_dataset(cfg, mode: str):
     if name == "fake":
         return FakeDataset(num_samples=cfg.get("num_fake_samples", 64),
                            num_cams=cfg.num_cams, **common)
+    if name == "synthetic":
+        from .synthetic_scene import SyntheticSceneDataset
+        return SyntheticSceneDataset(
+            num_samples=cfg.get("num_fake_samples", 64),
+            num_cams=cfg.num_cams,
+            speed=cfg.get("synthetic_speed", 0.5),
+            max_depth=min(cfg.max_depth, 80.0),
+            **{**common, "with_depth": True})
     if name == "ddad":
         from .ddad import DDADDataset
         return DDADDataset(cfg.data_path, cameras=tuple(cfg.cameras),
