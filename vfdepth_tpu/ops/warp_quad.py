@@ -126,13 +126,32 @@ def warp_image_mask_quad(img: jnp.ndarray, mask: jnp.ndarray,
 
 
 def _warp_im_fwd(img, mask, coords):
-    return warp_image_mask_quad(img, mask, coords), (img, coords)
+    return warp_image_mask_quad(img, mask, coords), (img, mask, coords)
 
 
 def _warp_im_bwd(res, gs):
-    img, coords = res
+    """Coordinate gradient via a re-gather that is BIT-IDENTICAL to the
+    forward gather (same 4(C+1)-channel quad, same indices) so XLA CSE
+    merges the two into one device gather — re-gathering a different
+    (mask-less) quad would double the dominant gather cost."""
+    img, mask, coords = res
     g_img, g_mask = gs  # mask grad contributes nothing to coords (nearest)
-    _, dcoords = _warp_bwd((img, coords), g_img)
+    b, h, w, c = img.shape
+    quad = build_quad(jnp.concatenate([img, mask.astype(img.dtype)], axis=-1))
+    quad = quad.reshape(b, h * w, 4 * (c + 1))
+    idx, (ax0, ax1, dax0, dax1), (ay0, ay1, day0, day1) = _tap_data(coords, h, w)
+    q00, q01, q10, q11 = _gather_quad(quad, idx, c + 1)
+    q00, q01, q10, q11 = q00[..., :c], q01[..., :c], q10[..., :c], q11[..., :c]
+
+    d_dx = ((dax0 * ay0)[..., None] * q00 + (dax1 * ay0)[..., None] * q01
+            + (dax0 * ay1)[..., None] * q10 + (dax1 * ay1)[..., None] * q11)
+    d_dy = ((ax0 * day0)[..., None] * q00 + (ax1 * day0)[..., None] * q01
+            + (ax0 * day1)[..., None] * q10 + (ax1 * day1)[..., None] * q11)
+    gx = jnp.sum(g_img * d_dx, axis=-1) * (0.5 * (w - 1))
+    gy = jnp.sum(g_img * d_dy, axis=-1) * (0.5 * (h - 1))
+    dcoords = jnp.stack([gx, gy], axis=-1).astype(coords.dtype)
+    finite = jnp.all(jnp.isfinite(coords), axis=-1, keepdims=True)
+    dcoords = jnp.where(finite, dcoords, 0.0)
     return (jnp.zeros_like(img),
             jnp.zeros(img.shape[:-1] + (1,), img.dtype),
             dcoords)
