@@ -34,28 +34,20 @@ from .matmul_sample import _tap_weights  # noqa: F401 (XLA fallback shares tap m
 # points per W-build/matmul sub-tile and sub-tiles per grid step. Grid-step
 # overhead on TPU is ~10-15 us; the inner fori_loop amortizes it 8x while
 # keeping W at a VMEM-friendly [512, h*w].
-_TILE_N = 128
-_SUPER = 16
+_TILE_N = 256
+_SUPER = 8
 _BLOCK_N = _TILE_N * _SUPER
 
 
-def _y_expansion(h: int, w: int) -> jnp.ndarray:
-    """Constant Ey [h, h*w] with Ey[y, p] = (p // w == y), bf16."""
-    import numpy as np
-    p = np.arange(h * w)
-    ey = (p[None, :] // w == np.arange(h)[:, None])
-    return jnp.asarray(ey.astype(np.float32), jnp.bfloat16)
-
-
-def _separable_w(coords: jnp.ndarray, ey_ref, h: int, w: int) -> jnp.ndarray:
+def _separable_w(coords: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     """Build the bilinear weight matrix W [tile, h*w] in bf16.
 
-    Bilinear weights factor per axis (w_yx = wy_y * wx_x): build 2-tap
-    one-hots over w (<=80 lanes) and h (<=48) with a few compares, then
-    expand to full h*w width with lane-native ops — ``pltpu.repeat`` for the
-    row one-hot (flat p//w pattern) and lane concatenation for the column
-    one-hot (p%w pattern). No 3D reshape (unsupported by Mosaic), no f32
-    intermediates, ~10x less VPU work than 4 dense compares over h*w.
+    Bilinear weights factor per axis (w_yx = wy_y * wx_x). The column factor
+    (p%w pattern) expands with ``pltpu.repeat`` (tiles the 2-tap ohx built
+    from <=80-lane compares). The row factor (p//w pattern) is built with a
+    RANGE TEST on the full-width flat iota — p//w == y  <=>  y*w <= p <
+    (y+1)*w — all in bf16/int32, no f32 intermediate (an earlier Ey-matmul
+    variant needed a [tile, h*w] f32 accumulator that capped the tile size).
     """
     tile = coords.shape[0]
     finite = jnp.isfinite(coords[:, 0]) & jnp.isfinite(coords[:, 1])
@@ -68,34 +60,30 @@ def _separable_w(coords: jnp.ndarray, ey_ref, h: int, w: int) -> jnp.ndarray:
     wx = (x - x0)[:, None].astype(jnp.bfloat16)
     wy = (y - y0)[:, None].astype(jnp.bfloat16)
     ix0 = x0.astype(jnp.int32)[:, None]
-    iy0 = y0.astype(jnp.int32)[:, None]
+    iy0w = (y0.astype(jnp.int32) * w)[:, None]
 
     iox = jax.lax.broadcasted_iota(jnp.int32, (tile, w), 1)
     one = jnp.bfloat16(1.0)
     # iota compares zero out-of-range taps automatically (no match < 0 or >= n)
     ohx = ((iox == ix0).astype(jnp.bfloat16) * (one - wx)
            + (iox == ix0 + 1).astype(jnp.bfloat16) * wx)
-    ioy = jax.lax.broadcasted_iota(jnp.int32, (tile, h), 1)
-    ohy = ((ioy == iy0).astype(jnp.bfloat16) * (one - wy)
-           + (ioy == iy0 + 1).astype(jnp.bfloat16) * wy)
-
-    # flat index p = y*w + x: ohx expands by tiling the whole row h times
-    # (pltpu.repeat tiles, matching the p%w pattern); ohy needs element-wise
-    # repetition (p//w) — done as a tiny constant 0/1 matmul on the MXU
-    # (Ey[y, p] = [p//w == y], [h, h*w]).
     ohx_full = pltpu.repeat(ohx, h, axis=1)            # [tile, h*w]
-    ohy_full = jnp.dot(ohy, ey_ref[:],
-                       preferred_element_type=jnp.float32)
-    return ohx_full * ohy_full.astype(jnp.bfloat16)
+
+    iop = jax.lax.broadcasted_iota(jnp.int32, (tile, h * w), 1)
+    row0 = ((iop >= iy0w) & (iop < iy0w + w))
+    row1 = ((iop >= iy0w + w) & (iop < iy0w + 2 * w))
+    ohy_full = (row0.astype(jnp.bfloat16) * (one - wy)
+                + row1.astype(jnp.bfloat16) * wy)
+    return ohx_full * ohy_full
 
 
-def _fwd_kernel(h: int, w: int, img_ref, coords_ref, ey_ref, out_ref):
+def _fwd_kernel(h: int, w: int, img_ref, coords_ref, out_ref):
     """img (bf16) [h*w, C]; coords [BLOCK_N, 2]; out [BLOCK_N, C]."""
     img_bf16 = img_ref[:]
 
     def body(k, _):
         sl = pl.ds(k * _TILE_N, _TILE_N)
-        w_mat = _separable_w(coords_ref[sl, :], ey_ref, h, w)
+        w_mat = _separable_w(coords_ref[sl, :], h, w)
         out_ref[sl, :] = jnp.dot(w_mat, img_bf16,
                                  preferred_element_type=jnp.float32
                                  ).astype(out_ref.dtype)
@@ -104,7 +92,7 @@ def _fwd_kernel(h: int, w: int, img_ref, coords_ref, ey_ref, out_ref):
     jax.lax.fori_loop(0, _SUPER, body, 0)
 
 
-def _bwd_kernel(h: int, w: int, g_ref, coords_ref, ey_ref, out_ref, acc_ref):
+def _bwd_kernel(h: int, w: int, g_ref, coords_ref, out_ref, acc_ref):
     """g [BLOCK_N, C]; out (bf16) [h*w, C]; acc (f32 scratch) [h*w, C].
 
     The accumulator lives in single-buffered scratch (persists across the
@@ -119,7 +107,7 @@ def _bwd_kernel(h: int, w: int, g_ref, coords_ref, ey_ref, out_ref, acc_ref):
 
     def body(k, _):
         sl = pl.ds(k * _TILE_N, _TILE_N)
-        w_mat = _separable_w(coords_ref[sl, :], ey_ref, h, w)
+        w_mat = _separable_w(coords_ref[sl, :], h, w)
         # contract the tile axis without materializing a transposed W copy
         contrib = jax.lax.dot_general(
             w_mat, g_ref[sl, :],
@@ -161,14 +149,12 @@ def _fwd_call(img_flat: jnp.ndarray, coords: jnp.ndarray, h: int, w: int):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, _BLOCK_N, 2), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((h, hw), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((None, _BLOCK_N, c), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, coords_p.shape[1], c), jnp.bfloat16),
         interpret=(jax.default_backend() != "tpu"),
-    )(img_flat, coords_p, _y_expansion(h, w))
+    )(img_flat, coords_p)
     return out[:, :n]
 
 
@@ -190,15 +176,13 @@ def _bwd_call(g: jnp.ndarray, coords: jnp.ndarray, h: int, w: int):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, _BLOCK_N, 2), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((h, h * w), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((None, h * w, c), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h * w, c), jnp.bfloat16),
         scratch_shapes=[pltpu.VMEM((h * w, c), jnp.float32)],
         interpret=(jax.default_backend() != "tpu"),
-    )(g, coords_p, _y_expansion(h, w))
+    )(g, coords_p)
 
 
 @jax.custom_vjp
