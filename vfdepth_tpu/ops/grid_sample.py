@@ -207,7 +207,9 @@ def _gs3d_bwd(res, g):
             wpairs.append(jnp.stack([wz * wy * wx0, wz * wy * wx1], axis=-1))
     idx4 = jnp.stack(idxs, axis=2).reshape(b, n * 4)              # [b, 4n]
     wstack = jnp.stack(wpairs, axis=2)                            # [b, n, 4, 2]
-    updates = g_flat[:, :, None, None, :] * wstack[..., None]
+    # weights carry f32 coord precision; cast the product back to the grad
+    # dtype (scatter requires operand/update dtype match)
+    updates = (g_flat[:, :, None, None, :] * wstack[..., None]).astype(g.dtype)
     updates = updates.reshape(b, n * 4, 2, c)
 
     dnums = jax.lax.ScatterDimensionNumbers(
