@@ -80,9 +80,16 @@ class FakeDataset:
         # light blur along each axis to avoid blocky gradients
         base = 0.5 * base + 0.25 * np.roll(base, 1, axis=1) + 0.25 * np.roll(base, 1, axis=2)
         for f in self.frame_ids:
-            # context frames: slightly shifted copies so photometric losses
-            # have structure to latch onto
-            img = np.roll(base, shift=f * 2, axis=2) if f else base
+            # context frames: shifted + slightly re-exposed copies. The
+            # asymmetric shift and brightness break exact photometric ties
+            # between the context frames — argmin/automask losses are
+            # discontinuous at ties, which makes equivalence tests flaky
+            # under different reduction layouts (sharded vs unsharded).
+            if f:
+                img = np.roll(base, shift=f * 2 + (1 if f > 0 else 0), axis=2)
+                img = np.clip(img * (1.0 + 0.03 * f), 0.0, 1.0)
+            else:
+                img = base
             sample[color_key(f, 0)] = img
             sample[color_key(f, 0, aug=True)] = img
         for s in range(1, n_scales):
