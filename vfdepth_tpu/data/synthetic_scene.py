@@ -19,11 +19,20 @@ from .fake import make_rig_extrinsics
 
 
 def _texture(wx: np.ndarray, wy: np.ndarray) -> np.ndarray:
-    """Smooth procedural RGB texture over world ground coordinates."""
-    r = 0.5 + 0.5 * np.sin(0.9 * wx) * np.cos(0.7 * wy)
-    g = 0.5 + 0.5 * np.sin(0.45 * wx + 1.1) * np.sin(0.6 * wy + 0.3)
-    b = 0.5 + 0.5 * np.cos(0.33 * wx - 0.8) * np.cos(0.52 * wy + 1.7)
-    return np.stack([r, g, b], axis=-1).astype(np.float32)
+    """Procedural RGB texture over world ground coordinates.
+
+    Mixes low- and mid-frequency components: enough high-frequency detail
+    that the identity (no-motion) photometric loss clearly exceeds the
+    true-reprojection loss — otherwise auto-masking can collapse training
+    (textureless scenes are degenerate for self-supervised depth).
+    """
+    r = (0.45 + 0.3 * np.sin(0.9 * wx) * np.cos(0.7 * wy)
+         + 0.2 * np.sin(3.1 * wx + 0.4) * np.sin(2.7 * wy))
+    g = (0.45 + 0.3 * np.sin(0.45 * wx + 1.1) * np.sin(0.6 * wy + 0.3)
+         + 0.2 * np.cos(2.3 * wx) * np.sin(3.3 * wy + 1.2))
+    b = (0.45 + 0.3 * np.cos(0.33 * wx - 0.8) * np.cos(0.52 * wy + 1.7)
+         + 0.2 * np.sin(2.9 * wx + 2.0) * np.cos(2.1 * wy - 0.5))
+    return np.clip(np.stack([r, g, b], axis=-1), 0.0, 1.0).astype(np.float32)
 
 
 class SyntheticSceneDataset:
@@ -36,7 +45,7 @@ class SyntheticSceneDataset:
     def __init__(self, num_samples: int = 16, num_cams: int = 6,
                  height: int = 64, width: int = 96,
                  frame_ids: Sequence[int] = (0, -1, 1), fusion_level: int = 2,
-                 with_depth: bool = True, speed: float = 0.5,
+                 with_depth: bool = True, speed: float = 1.5,
                  max_depth: float = 80.0, seed: int = 0, **_):
         self.num_samples = num_samples
         self.num_cams = num_cams
