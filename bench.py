@@ -89,7 +89,7 @@ def main():
     from vfdepth_tpu.utils.jax_setup import enable_compilation_cache
     enable_compilation_cache()
 
-    batch_size = int(os.environ.get("BENCH_BATCH", "2"))
+    batch_size = int(os.environ.get("BENCH_BATCH", "1"))  # b2 exceeds HBM
     height = int(os.environ.get("BENCH_HEIGHT", "384"))
     width = int(os.environ.get("BENCH_WIDTH", "640"))
     n_steps = int(os.environ.get("BENCH_STEPS", "10"))

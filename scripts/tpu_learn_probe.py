@@ -35,6 +35,25 @@ def main():
                        mixed_precision=True, learning_rate=2e-4,
                        max_depth=80.0, eval_max_depth=80)
     model = VFDepthModel(cfg)
+
+    if os.environ.get("PROBE_GT_POSE", "0") == "1":
+        # diagnostic: bypass the pose net with the analytic scripted motion
+        # T_f = E_c^-1 . translate(-f*speed) . E_c  (isolates depth learning)
+        speed = 1.5
+        orig_predict_pose = model.predict_pose
+
+        def gt_pose(params, stats, batch, train):
+            exts = batch["extrinsics"]
+            exts_inv = batch["extrinsics_inv"]
+            mats = []
+            for f in model.frame_ids[1:]:
+                shift = jnp.eye(4).at[0, 3].set(-f * speed)
+                t_f = jnp.einsum("bcij,jk,bckl->bcil", exts_inv, shift, exts)
+                mats.append(t_f)
+            return jnp.stack(mats, axis=2), stats
+
+        model.predict_pose = gt_pose
+        print("(using analytic GT pose)", flush=True)
     ds = SyntheticSceneDataset(num_samples=8, num_cams=6, height=height,
                                width=width, fusion_level=2, speed=0.5)
     batches = [
