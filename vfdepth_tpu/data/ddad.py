@@ -24,7 +24,6 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from .contract import color_key
 from .depth_projection import (
     cached_depth,
     lidar_to_camera_depth,

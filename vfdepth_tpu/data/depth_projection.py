@@ -12,7 +12,7 @@ reference's on-demand caching behavior.
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence, Tuple
+from typing import Sequence
 
 import numpy as np
 

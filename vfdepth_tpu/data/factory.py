@@ -7,8 +7,6 @@ resize only (reference ``models/vfdepth.py:99-138``).
 """
 from __future__ import annotations
 
-from typing import Any
-
 from .fake import FakeDataset
 
 

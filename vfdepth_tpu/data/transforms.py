@@ -13,7 +13,7 @@ jittered one (both resized).
 """
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 
@@ -92,11 +92,7 @@ def color_jitter(rng: np.random.RandomState, img: np.ndarray,
         shift = rng.uniform(-hue, hue)
 
         def hue_op(x, shift=shift):
-            # cheap HSV hue rotation
-            import colorsys  # noqa: F401  (documentational)
-            maxc = x.max(-1, keepdims=True)
-            minc = x.min(-1, keepdims=True)
-            # rotate channels approximately via YIQ rotation
+            # hue rotation in YIQ space (cheap approximation of HSV shift)
             theta = 2 * np.pi * shift
             cos_t, sin_t = np.cos(theta), np.sin(theta)
             tyiq = np.array([

@@ -8,7 +8,7 @@ cached-buffer/device-placement bookkeeping.
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax.numpy as jnp
 

@@ -24,7 +24,7 @@ from .primitives import (
     auto_mask,
     mean_normalized_disp,
 )
-from ..geometry.se3 import matrix_to_euler_angles_xyz, invert_pose
+from ..geometry.se3 import matrix_to_euler_angles_xyz
 
 _EPSILON = 1e-5  # identity-loss tie-break noise scale (single_cam_loss.py:7)
 

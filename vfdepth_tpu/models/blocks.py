@@ -11,7 +11,7 @@ convs are identical.
 """
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import jax.numpy as jnp
 import flax.linen as nn

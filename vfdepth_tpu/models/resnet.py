@@ -14,7 +14,7 @@ Optionally initializable from torchvision ImageNet weights via
 """
 from __future__ import annotations
 
-from typing import Any, List, Sequence
+from typing import Any, List
 
 import jax.numpy as jnp
 import flax.linen as nn

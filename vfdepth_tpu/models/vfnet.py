@@ -22,7 +22,7 @@ self-occlusion mask (nearest-sampled > 0.5) x (z > 0) x in-bounds (:183-195).
 """
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import numpy as np
 import jax

@@ -18,8 +18,6 @@ this module is the reference implementation and the CPU/test path.
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -22,7 +22,6 @@ pixels); use ``ops.grid_sample`` otherwise (e.g. full-res image warps).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

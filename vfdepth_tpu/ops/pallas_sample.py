@@ -22,14 +22,11 @@ in the back-projection; reference ``network/volumetric_fusionnet.py:132-145``).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-
-from .matmul_sample import _tap_weights  # noqa: F401 (XLA fallback shares tap math)
 
 # points per W-build/matmul sub-tile and sub-tiles per grid step. Grid-step
 # overhead on TPU is ~10-15 us; the inner fori_loop amortizes it 8x while

@@ -12,7 +12,7 @@ current state (the partial-load capability used to eval depth_net only).
 from __future__ import annotations
 
 import os
-from typing import Any, List, Optional
+from typing import List, Optional
 
 import jax
 import numpy as np

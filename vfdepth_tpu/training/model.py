@@ -12,8 +12,7 @@ Monodepth baseline -> Monodepth2-style per-camera nets).
 """
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 import jax

@@ -12,16 +12,14 @@ gamma 0.1) expressed as an optax piecewise-constant schedule over steps.
 """
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
-from flax.core import FrozenDict
 
 from .model import VFDepthModel
-from ..parallel.mesh import DATA_AXIS, batch_sharding, make_mesh, replicated
+from ..parallel.mesh import batch_sharding, make_mesh, replicated
 
 
 class TrainState(NamedTuple):

@@ -9,7 +9,7 @@ jitted applies — the decode compiles once and is reused across all views.
 """
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import List
 
 import numpy as np
 import jax

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import itertools
 import time
-from typing import Any, Dict, Iterable, Optional
+from typing import Optional
 
 import numpy as np
 import jax
