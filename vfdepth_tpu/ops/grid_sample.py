@@ -163,63 +163,24 @@ def _gs3d_fwd(vol, coords):
 
 
 def _gs3d_bwd(res, g):
-    """One fused scatter of x-PAIR windows: the two x taps of each (z, y)
-    combination are adjacent in the flattened volume, so they scatter as one
-    [2, C] window — halving the scattered row count (TPU scatters are
-    row-rate-bound, ~70M rows/s measured). Border x taps use the clamped-base
-    weight trick (base in [0, w-2], weights rerouted), which matches
-    zeros-padding exactly."""
+    """One fused 8-tap scatter-add (measured ~140-170 ms on v5e).
+
+    A windowed-scatter variant (x-pair [2, C] windows via
+    lax.scatter_add with update_window_dims) halves the row count on paper
+    but lowers catastrophically on TPU (~16 s — 100x slower); plain
+    row-indexed .at[idx].add is the fastest scatter form available."""
     coords, vol_shape = res
     b = vol_shape[0]
     d, h, w, c = vol_shape[1], vol_shape[2], vol_shape[3], vol_shape[4]
     coords_flat = coords.reshape(b, -1, 3)
     g_flat = g.reshape(b, -1, c)
-    n = coords_flat.shape[1]
-
-    finite = jnp.all(jnp.isfinite(coords_flat), axis=-1)
-    cf = jnp.where(finite[..., None], coords_flat, -4.0)
-    x = _unnormalize(cf[..., 0], w)
-    y = _unnormalize(cf[..., 1], h)
-    z = _unnormalize(cf[..., 2], d)
-
-    def axis_w(coord, size):
-        p0 = jnp.floor(coord)
-        t = coord - p0
-        i0 = p0.astype(jnp.int32)
-        base = jnp.clip(i0, 0, size - 2)
-        off = i0 - base
-        is0 = (off == 0).astype(g.dtype)
-        ism1 = (off == -1).astype(g.dtype)
-        isp1 = (off == 1).astype(g.dtype)
-        return base, (1 - t) * is0 + t * ism1, t * is0 + (1 - t) * isp1
-
-    xb, wx0, wx1 = axis_w(x, w)
-    yb, wy0, wy1 = axis_w(y, h)
-    zb, wz0, wz1 = axis_w(z, d)
-
-    idxs, wpairs = [], []
-    for dz, wz in ((0, wz0), (1, wz1)):
-        for dy, wy in ((0, wy0), (1, wy1)):
-            flat = ((zb + dz) * h + (yb + dy)) * w + xb
-            idxs.append(flat)
-            wpairs.append(jnp.stack([wz * wy * wx0, wz * wy * wx1], axis=-1))
-    idx4 = jnp.stack(idxs, axis=2).reshape(b, n * 4)              # [b, 4n]
-    wstack = jnp.stack(wpairs, axis=2)                            # [b, n, 4, 2]
-    # weights carry f32 coord precision; cast the product back to the grad
-    # dtype (scatter requires operand/update dtype match)
-    updates = (g_flat[:, :, None, None, :] * wstack[..., None]).astype(g.dtype)
-    updates = updates.reshape(b, n * 4, 2, c)
-
-    dnums = jax.lax.ScatterDimensionNumbers(
-        update_window_dims=(1, 2),
-        inserted_window_dims=(),
-        scatter_dims_to_operand_dims=(0,))
-
-    def scatter_one(acc, i, u):
-        return jax.lax.scatter_add(acc, i[:, None], u, dnums)
-
+    idx, wgt = _trilinear_taps((d, h, w), coords_flat)  # [b, n, 8]
+    n = idx.shape[1]
+    updates = (g_flat[:, :, None, :] * wgt[..., None]).astype(g.dtype)
+    updates = updates.reshape(b, n * 8, c)
+    idx_all = idx.reshape(b, n * 8)
     dvol = jnp.zeros((b, d * h * w, c), g.dtype)
-    dvol = jax.vmap(scatter_one)(dvol, idx4, updates)
+    dvol = jax.vmap(lambda acc, i, u: acc.at[i].add(u))(dvol, idx_all, updates)
     return dvol.reshape(vol_shape), jnp.zeros_like(coords)
 
 
