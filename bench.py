@@ -78,10 +78,13 @@ def run_bench(batch_size, height, width, n_steps, use_bf16):
     # compile + warmup
     state, logs = train_step(state, batch, rng)
     jax.block_until_ready(logs["total_loss"])
+    # fetch the loss every step: through the remote-execution tunnel a
+    # trailing block_until_ready can return without the full donated-state
+    # chain having executed, yielding absurd throughput numbers
     t0 = time.time()
     for _ in range(n_steps):
         state, logs = train_step(state, batch, rng)
-    jax.block_until_ready(logs["total_loss"])
+        float(logs["total_loss"])
     return (time.time() - t0) / n_steps
 
 
