@@ -62,7 +62,11 @@ def run_bench(batch_size, height, width, n_steps, use_bf16):
         "eval": {"eval_batch_size": 1, "eval_min_depth": 0,
                  "eval_max_depth": 200, "eval_visualize": False,
                  "syn_visualize": False, "syn_idx": 0},
-        "tpu": {"mixed_precision": use_bf16},
+        "tpu": {"mixed_precision": use_bf16,
+                # "0"/"1"/"all"/"depth_net"/"pose_net"
+                "remat": {"0": False, "1": True}.get(
+                    os.environ.get("BENCH_REMAT", "0"),
+                    os.environ.get("BENCH_REMAT"))},
     })
 
     model = VFDepthModel(cfg)

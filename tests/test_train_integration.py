@@ -135,3 +135,34 @@ def test_checkpoint_roundtrip(tmp_path):
     other = jax.tree_util.tree_leaves(state2.params["pose_net"])
     for a, b in zip(diff, other):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_remat_grad_equivalence():
+    """remat=True (jax.checkpoint around net applies) must be a pure
+    memory/time trade: identical loss and gradients to remat=False."""
+    cfg = micro_config()
+    cfg_r = micro_config()
+    cfg_r.set("remat", True, section="tpu")
+
+    batch = _batch(cfg)
+    rng = jax.random.PRNGKey(0)
+
+    def loss_and_grad(c):
+        model = VFDepthModel(c)
+        params, stats = model.init(jax.random.PRNGKey(1), batch)
+
+        def loss_fn(p):
+            _, (loss, _), _ = model.forward(p, stats, batch, rng, train=True)
+            return loss
+
+        return jax.jit(jax.value_and_grad(loss_fn))(params)
+
+    l0, g0 = loss_and_grad(cfg)
+    l1, g1 = loss_and_grad(cfg_r)
+    assert np.allclose(float(l0), float(l1), rtol=1e-6, atol=1e-7)
+    flat0 = jax.tree_util.tree_leaves(g0)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

@@ -77,6 +77,11 @@ class VFDepthModel:
         self.intensity_align = cfg.intensity_align
         self.compute_dtype = (jnp.bfloat16 if cfg.get("mixed_precision", False)
                               else None)
+        # Rematerialize network applies in the backward pass (jax.checkpoint):
+        # trades an extra network forward for dropping the encoder/decoder
+        # activations from HBM, which is what gates batch>=2 on a single chip
+        # at full 6-cam resolution. False | True/'all' | 'depth_net' | 'pose_net'.
+        self.remat = cfg.get("remat", False)
 
         vox_kwargs = dict(
             voxel_str_p=tuple(cfg.voxel_str_p),
@@ -163,10 +168,21 @@ class VFDepthModel:
         return params, batch_stats
 
     # ------------------------------------------------------------------
+    def _remat_for(self, net) -> bool:
+        if not self.remat:
+            return False
+        if self.remat is True or self.remat == "all":
+            return True
+        return self.remat == ("depth_net" if net is self.depth_net else "pose_net")
+
     def _apply(self, net, net_params, net_stats, *args, train: bool, **kwargs):
         variables = {"params": net_params, "batch_stats": net_stats}
         if train:
-            out, mut = net.apply(variables, *args, train=True, mutable=["batch_stats"], **kwargs)
+            def run(v, a, kw):
+                return net.apply(v, *a, train=True, mutable=["batch_stats"], **kw)
+            if self._remat_for(net):
+                run = jax.checkpoint(run)
+            out, mut = run(variables, args, kwargs)
             return out, mut["batch_stats"]
         return net.apply(variables, *args, train=False, **kwargs), net_stats
 
