@@ -166,3 +166,30 @@ def test_remat_grad_equivalence():
     for a, b in zip(flat0, flat1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_cam_axis_shard_equivalence():
+    """(data=2, cam=3) 2-D mesh step == single-device step: sharding the
+    camera axis (GSPMD partitions per-camera stages, psum at the fusion
+    sums) must not change the math."""
+    from vfdepth_tpu.parallel.mesh import make_mesh_2d, shard_batch_2d
+    from vfdepth_tpu.training.step import shard_train_step_2d
+
+    cfg = micro_config()
+    model = VFDepthModel(cfg)
+    batch = _batch(cfg, batch_size=2)
+    rng = jax.random.PRNGKey(0)
+    state, tx = create_train_state(model, rng, batch, steps_per_epoch=10)
+
+    step1 = build_train_step(model, tx, donate=False)
+    _, logs1 = step1(state, batch, rng)
+    l1 = float(logs1["total_loss"])
+
+    mesh = make_mesh_2d(2, 3)
+    step2 = shard_train_step_2d(model, tx, mesh, batch)
+    _, logs2 = step2(state, shard_batch_2d(mesh, cfg.num_cams, batch), rng)
+    l2 = float(logs2["total_loss"])
+
+    assert np.isfinite(l1) and np.isfinite(l2)
+    assert abs(l1 - l2) < 1e-3 + 0.02 * abs(l1), (l1, l2)

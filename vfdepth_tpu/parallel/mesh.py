@@ -39,3 +39,47 @@ def shard_batch(mesh: Mesh, batch: Any, axis_name: str = DATA_AXIS) -> Any:
     """Device-put every array in a batch pytree with its leading axis sharded."""
     sh = batch_sharding(mesh, axis_name)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+# ---------------------------------------------------------------------------
+# 2-D (data, cam) mesh: camera-axis model parallelism
+# ---------------------------------------------------------------------------
+# The reference's only strategy is DDP (SURVEY.md §2.8), but its natural TPU
+# model axis is the camera dimension: every per-camera stage (encoder, voxel
+# back-projection, frustum sampling, view warping) is independent until the
+# cross-camera fusion sum in VFNet. Sharding batch arrays as
+# [data, cam, ...] lets GSPMD partition the per-camera compute and insert the
+# psum over the 'cam' axis exactly at those fusion sums — the tensor-parallel
+# analog for this architecture, riding ICI.
+
+CAM_AXIS = "cam"
+
+
+def make_mesh_2d(data: int, cam: int,
+                 devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """(data, cam) mesh over the first data*cam devices."""
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices[: data * cam]).reshape(data, cam)
+    return Mesh(devices, (DATA_AXIS, CAM_AXIS))
+
+
+def batch_sharding_2d(mesh: Mesh, num_cams: int, batch: Any) -> Any:
+    """Per-leaf shardings: [b, cams, ...] arrays shard (data, cam); other
+    arrays shard batch only. Returns a pytree of NamedShardings matching
+    ``batch``'s structure (usable as a jit in_sharding or device_put target).
+    """
+    dc = NamedSharding(mesh, P(DATA_AXIS, CAM_AXIS))
+    d = NamedSharding(mesh, P(DATA_AXIS))
+
+    def pick(x):
+        if hasattr(x, "ndim") and x.ndim >= 2 and x.shape[1] == num_cams:
+            return dc
+        return d
+
+    return jax.tree_util.tree_map(pick, batch)
+
+
+def shard_batch_2d(mesh: Mesh, num_cams: int, batch: Any) -> Any:
+    shardings = batch_sharding_2d(mesh, num_cams, batch)
+    return jax.tree_util.tree_map(jax.device_put, batch, shardings)

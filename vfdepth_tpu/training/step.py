@@ -19,7 +19,8 @@ import jax.numpy as jnp
 import optax
 
 from .model import VFDepthModel
-from ..parallel.mesh import batch_sharding, make_mesh, replicated
+from ..parallel.mesh import (batch_sharding, batch_sharding_2d, make_mesh,
+                             replicated)
 
 
 class TrainState(NamedTuple):
@@ -121,3 +122,37 @@ def shard_train_step(model: VFDepthModel, tx, mesh=None):
         in_shardings=(repl, bsh, repl),
         out_shardings=(repl, repl),
     ), mesh
+
+
+def shard_train_step_2d(model: VFDepthModel, tx, mesh, example_batch):
+    """jit the train step over a 2-D (data, cam) mesh.
+
+    Batch arrays with a camera dimension shard as [data, cam, ...]; GSPMD
+    partitions every per-camera stage (encoders, back-projection, warps) over
+    the 'cam' axis and inserts the cross-camera psum at VFNet's fusion sums —
+    camera-axis model parallelism on top of data parallelism. Params/state
+    stay replicated.
+    """
+    repl = replicated(mesh)
+    bsh = batch_sharding_2d(mesh, model.num_cams, example_batch)
+
+    def train_step(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            outputs, (loss, logs), new_stats = model.forward(
+                params, state.batch_stats, batch, rng, train=True)
+            return loss, (logs, new_stats)
+
+        grads, (logs, new_stats) = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        scalar_logs = {k: v for k, v in logs.items()
+                       if hasattr(v, "ndim") and v.ndim == 0}
+        return TrainState(state.step + 1, new_params, new_stats, new_opt), scalar_logs
+
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, bsh, repl),
+        out_shardings=(repl, repl),
+    )
