@@ -119,14 +119,19 @@ class BatchLoader:
             t.join()
 
 
-def device_prefetch(iterator, size: int = 2):
-    """Move batches to device ahead of consumption (jax.device_put pipeline)."""
+def device_prefetch(iterator, size: int = 2, put_fn=None):
+    """Move batches to device ahead of consumption (jax.device_put pipeline).
+
+    ``put_fn`` overrides the placement (e.g. mesh sharding instead of the
+    default single-device put)."""
     import jax
     import collections
 
     buf = collections.deque()
 
     def put(batch):
+        if put_fn is not None:
+            return put_fn(batch)
         return jax.tree_util.tree_map(jax.device_put, batch)
 
     it = iter(iterator)

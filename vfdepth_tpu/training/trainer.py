@@ -63,7 +63,7 @@ class Trainer:
             state = load_checkpoint(self.cfg.load_weights_dir, state,
                                     self.cfg.models_to_load, load_optimizer=True)
 
-        train_step = build_train_step(self.model, tx)
+        train_step = self._build_step(tx, first)
         eval_step = (build_eval_step(self.model, return_renders=True)
                      if val_loader is not None else None)
         val_iter = iter(val_loader) if val_loader is not None else None
@@ -78,7 +78,8 @@ class Trainer:
                 train_loader.set_epoch(epoch)
             epoch_iter = train_iter if epoch == 0 else iter(train_loader)
             # overlap host->device transfer with the device step
-            epoch_iter = device_prefetch(epoch_iter, size=prefetch_depth)
+            epoch_iter = device_prefetch(epoch_iter, size=prefetch_depth,
+                                         put_fn=self._shard_fn)
             for batch_idx, batch in enumerate(epoch_iter):
                 before = time.time()
                 state, logs = train_step(state, batch, rng)
@@ -102,6 +103,41 @@ class Trainer:
                 break
         self.logger.close()
         return state
+
+    def _build_step(self, tx, example_batch):
+        """Pick the step variant from ``tpu.*`` config and attached devices.
+
+        ``cam_parallel_size`` > 1 requests the 2-D (data, cam) mesh — the
+        camera axis sharded over that many devices, the rest data-parallel;
+        plain multi-device hosts get the 1-D data mesh; a single device gets
+        the unsharded step.
+        """
+        n_dev = jax.device_count()
+        batch_size = int(self.cfg.batch_size)
+        cam_par = int(self.cfg.get("cam_parallel_size", 1))
+        if cam_par > 1 and n_dev >= cam_par:
+            data_dim = n_dev // cam_par
+            if batch_size % max(data_dim, 1) or self.model.num_cams % cam_par:
+                raise ValueError(
+                    f"cam_parallel_size={cam_par}: batch {batch_size} must "
+                    f"divide over {data_dim} data shards and num_cams "
+                    f"{self.model.num_cams} over {cam_par} camera shards")
+            from .step import shard_train_step_2d
+            from ..parallel.mesh import make_mesh_2d, shard_batch_2d
+            mesh = make_mesh_2d(n_dev // cam_par, cam_par)
+            self._shard_fn = lambda b: shard_batch_2d(
+                mesh, self.model.num_cams, b)
+            return shard_train_step_2d(
+                self.model, tx, mesh,
+                jax.tree_util.tree_map(jnp.asarray, example_batch))
+        if n_dev > 1 and batch_size % n_dev == 0:
+            from .step import shard_train_step
+            from ..parallel.mesh import shard_batch
+            step_fn, mesh = shard_train_step(self.model, tx)
+            self._shard_fn = lambda b: shard_batch(mesh, b)
+            return step_fn
+        self._shard_fn = None
+        return build_train_step(self.model, tx)
 
     def _validate(self, eval_step, state, val_loader, val_iter, rng, step):
         """Single-batch validation at log checkpoints; cycles the iterator."""
