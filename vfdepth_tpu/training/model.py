@@ -12,7 +12,7 @@ Monodepth baseline -> Monodepth2-style per-camera nets).
 """
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 import jax

@@ -12,7 +12,7 @@ gamma 0.1) expressed as an optax piecewise-constant schedule over steps.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import Any, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
