@@ -82,13 +82,20 @@ def run_bench(batch_size, height, width, n_steps, use_bf16):
     # compile + warmup
     state, logs = train_step(state, batch, rng)
     jax.block_until_ready(logs["total_loss"])
-    # fetch the loss every step: through the remote-execution tunnel a
-    # trailing block_until_ready can return without the full donated-state
-    # chain having executed, yielding absurd throughput numbers
+    # Fetch every step's loss, lagged by one step: the fetch forces that
+    # step's execution (through the remote-execution tunnel a trailing
+    # block_until_ready can return without the donated-state chain having
+    # executed, yielding absurd numbers), while the one-step lag overlaps
+    # the device->host roundtrip with the next step — the same pipelining a
+    # production training loop gets.
+    prev = None
     t0 = time.time()
     for _ in range(n_steps):
         state, logs = train_step(state, batch, rng)
-        float(logs["total_loss"])
+        if prev is not None:
+            float(prev)
+        prev = logs["total_loss"]
+    float(prev)
     return (time.time() - t0) / n_steps
 
 
