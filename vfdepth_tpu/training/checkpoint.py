@@ -35,6 +35,22 @@ def save_checkpoint(save_root: str, epoch: int, state: TrainState) -> str:
     return path
 
 
+def _restore_as_numpy(path: str):
+    """Restore a checkpoint as host numpy arrays, ignoring saved shardings.
+
+    A checkpoint written from a mesh-sharded run records its device topology;
+    restoring it on a different one (train on a pod, eval on one chip) must
+    not fail. Numpy leaves are topology-free and get placed on device when
+    first used.
+    """
+    ckptr = ocp.PyTreeCheckpointer()
+    meta = ckptr.metadata(path)
+    tree = getattr(meta, "item_metadata", None) or getattr(meta, "tree", meta)
+    restore_args = jax.tree_util.tree_map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree)
+    return ckptr.restore(path, restore_args=restore_args)
+
+
 def load_checkpoint(load_dir: str, state: TrainState,
                     models_to_load: Optional[List[str]] = None,
                     load_optimizer: bool = True) -> TrainState:
@@ -46,8 +62,7 @@ def load_checkpoint(load_dir: str, state: TrainState,
     name only a subset of networks.
     """
     path = os.path.abspath(load_dir)
-    ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(path)
+    restored = _restore_as_numpy(path)
 
     if models_to_load is None:
         models_to_load = list(state.params.keys())

@@ -35,6 +35,7 @@ class Trainer:
         self.num_epochs = cfg.num_epochs
         self.logger = Logger(cfg, use_tb)
         self.depth_metric_names = METRIC_NAMES
+        self._shard_fn = None  # set by _build_step when a mesh is active
 
     # ------------------------------------------------------------------
     def learn(self, train_loader, val_loader=None, state: Optional[TrainState] = None,
