@@ -193,3 +193,39 @@ def test_cam_axis_shard_equivalence():
 
     assert np.isfinite(l1) and np.isfinite(l2)
     assert abs(l1 - l2) < 1e-3 + 0.02 * abs(l1), (l1, l2)
+
+
+@pytest.mark.slow
+def test_checkpoint_cross_topology_restore(tmp_path):
+    """A checkpoint saved under this process's 8-device topology must
+    restore in a 1-device process (train on a pod -> eval on one chip).
+    Regression: orbax refuses topology changes unless restored as numpy."""
+    import subprocess
+    import sys
+    import os as _os
+    from vfdepth_tpu.training.checkpoint import save_checkpoint
+
+    cfg = micro_config()
+    model = VFDepthModel(cfg)
+    batch = _batch(cfg)
+    state, _ = create_train_state(model, jax.random.PRNGKey(0), batch,
+                                  steps_per_epoch=10)
+    path = save_checkpoint(str(tmp_path), 0, state)
+
+    probe = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "from vfdepth_tpu.training.checkpoint import _restore_as_numpy\n"
+        f"t = _restore_as_numpy({path!r})\n"
+        "import numpy as np\n"
+        "leaves = jax.tree_util.tree_leaves(t['params'])\n"
+        "assert leaves and all(np.isfinite(x).all() for x in leaves)\n"
+        "print('restored', len(leaves), 'leaves')\n"
+    )
+    env = dict(_os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + _os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run([sys.executable, "-c", probe], env=env,
+                         capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "restored" in out.stdout
