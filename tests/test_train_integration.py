@@ -170,15 +170,20 @@ def test_remat_grad_equivalence():
 
 @pytest.mark.slow
 def test_cam_axis_shard_equivalence():
-    """(data=2, cam=3) 2-D mesh step == single-device step: sharding the
+    """(data=1, cam=3) 2-D mesh step == single-device step: sharding the
     camera axis (GSPMD partitions per-camera stages, psum at the fusion
-    sums) must not change the math."""
+    sums) must not change the math.
+
+    Kept at 3 mesh devices / batch 1: with more virtual devices on this
+    single-core test host the XLA:CPU collective rendezvous can hit its
+    deadline and SIGABRT when the suite's other thread pools are resident
+    (observed at (2, 3) in full-suite runs; fine in isolation)."""
     from vfdepth_tpu.parallel.mesh import make_mesh_2d, shard_batch_2d
     from vfdepth_tpu.training.step import shard_train_step_2d
 
     cfg = micro_config()
     model = VFDepthModel(cfg)
-    batch = _batch(cfg, batch_size=2)
+    batch = _batch(cfg, batch_size=1)
     rng = jax.random.PRNGKey(0)
     state, tx = create_train_state(model, rng, batch, steps_per_epoch=10)
 
@@ -186,7 +191,7 @@ def test_cam_axis_shard_equivalence():
     _, logs1 = step1(state, batch, rng)
     l1 = float(logs1["total_loss"])
 
-    mesh = make_mesh_2d(2, 3)
+    mesh = make_mesh_2d(1, 3)
     step2 = shard_train_step_2d(model, tx, mesh, batch)
     _, logs2 = step2(state, shard_batch_2d(mesh, cfg.num_cams, batch), rng)
     l2 = float(logs2["total_loss"])
