@@ -160,4 +160,11 @@ def get_config(path: str, mode: str = "train", weight_path: Optional[str] = None
     tpu.setdefault("data_axis", "data")        # mesh axis name for DP sharding
     tpu.setdefault("prefetch_depth", 2)        # device prefetch buffer
     tpu.setdefault("use_pallas", True)         # pallas samplers on TPU backend
+    # sampler_2d: 'auto'|'pallas'|'matmul'|'gather' (None -> derived from
+    # use_pallas); sampler_3d: 'packed'|'gather'
+    tpu.setdefault("sampler_2d", None)
+    tpu.setdefault("sampler_3d", "packed")
+    tpu.setdefault("batch_pose_frames", True)  # one pose pass for all frames
+    tpu.setdefault("warp_window", True)        # windowed spatio/st warps
+    tpu.setdefault("warp_window_hw", None)     # [h, w] override (None = auto)
     return Config(data)

@@ -50,6 +50,8 @@ class FusedDepthNet(nn.Module):
     proj_d_end: float = 50.0
     overlap_groups: Tuple[Sequence[int], Sequence[int]] = ((0, 3, 4), (1, 2, 5))
     dtype: Any = None
+    sampler_2d: str = "auto"
+    sampler_3d: str = "packed"
 
     def setup(self):
         lev = self.fusion_level
@@ -74,6 +76,8 @@ class FusedDepthNet(nn.Module):
             width=self.width,
             overlap_groups=self.overlap_groups,
             dtype=self.dtype,
+            sampler_2d=self.sampler_2d,
+            sampler_3d=self.sampler_3d,
             name="fusion_net",
         )
         self.decoder = FusionDepthDecoder(
@@ -177,6 +181,8 @@ class FusedPoseNet(nn.Module):
     proj_d_str: float = 2.0
     proj_d_end: float = 50.0
     dtype: Any = None
+    sampler_2d: str = "auto"
+    sampler_3d: str = "packed"
 
     @nn.compact
     def __call__(
@@ -222,6 +228,8 @@ class FusedPoseNet(nn.Module):
             height=self.height,
             width=self.width,
             dtype=self.dtype,
+            sampler_2d=self.sampler_2d,
+            sampler_3d=self.sampler_3d,
             name="fusion_net",
         )(feats_agg, mask, intrinsics, inv_k, extrinsics, extrinsics_inv,
           train=train)["bev_feat"]

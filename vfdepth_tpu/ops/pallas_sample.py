@@ -32,7 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 # overhead on TPU is ~10-15 us; the inner fori_loop amortizes it 8x while
 # keeping W at a VMEM-friendly [512, h*w].
 _TILE_N = 256
-_SUPER = 8
+_SUPER = 8  # 16+ exceeds the 16 MB scoped-vmem limit (out block scales with it)
 _BLOCK_N = _TILE_N * _SUPER
 
 
@@ -74,19 +74,78 @@ def _separable_w(coords: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     return ohx_full * ohy_full
 
 
+def _any_in_bounds(coords: jnp.ndarray) -> jnp.ndarray:
+    """Scalar: does any point of this sub-tile have a nonzero tap?
+
+    Out-of-FOV voxels (behind the camera / projecting outside the feature
+    map — typically 50-70% of the volume per camera) produce all-zero W
+    rows; whole sub-tiles of them are contiguous in the [z, y, x] voxel
+    order, so their matmuls can be skipped entirely."""
+    cx = coords[:, 0]
+    cy = coords[:, 1]
+    ok = (jnp.isfinite(cx) & jnp.isfinite(cy)
+          & (cx >= -1.0) & (cx <= 1.0) & (cy >= -1.0) & (cy <= 1.0))
+    return jnp.any(ok)
+
+
 def _fwd_kernel(h: int, w: int, img_ref, coords_ref, out_ref):
     """img (bf16) [h*w, C]; coords [BLOCK_N, 2]; out [BLOCK_N, C]."""
     img_bf16 = img_ref[:]
 
     def body(k, _):
         sl = pl.ds(k * _TILE_N, _TILE_N)
-        w_mat = _separable_w(coords_ref[sl, :], h, w)
-        out_ref[sl, :] = jnp.dot(w_mat, img_bf16,
-                                 preferred_element_type=jnp.float32
-                                 ).astype(out_ref.dtype)
+        coords = coords_ref[sl, :]
+
+        @pl.when(_any_in_bounds(coords))
+        def _():
+            w_mat = _separable_w(coords, h, w)
+            out_ref[sl, :] = jnp.dot(w_mat, img_bf16,
+                                     preferred_element_type=jnp.float32
+                                     ).astype(out_ref.dtype)
+
+        @pl.when(jnp.logical_not(_any_in_bounds(coords)))
+        def _():
+            out_ref[sl, :] = jnp.zeros((_TILE_N, out_ref.shape[-1]),
+                                       out_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, _SUPER, body, 0)
+
+
+def _separable_w_T(coords: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Transposed weight matrix W^T [h*w, tile] in bf16.
+
+    The backward contraction dimg[p, c] = sum_n W[n, p] g[n, c] wants W laid
+    out pixel-major: ``W_T @ g`` is then a canonical (last-dim x first-dim)
+    MXU matmul. Building W^T directly avoids the 2 MB per-sub-tile transpose
+    Mosaic emits for a dim-0 contraction (measured: bwd 2.1x the forward's
+    time for identical flops before this).
+    """
+    tile = coords.shape[0]
+    finite = jnp.isfinite(coords[:, 0]) & jnp.isfinite(coords[:, 1])
+    cx = jnp.where(finite, coords[:, 0], -2.0)
+    cy = jnp.where(finite, coords[:, 1], -2.0)
+    x = (cx + 1.0) * 0.5 * (w - 1)
+    y = (cy + 1.0) * 0.5 * (h - 1)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = (x - x0)[None, :].astype(jnp.bfloat16)   # [1, tile]
+    wy = (y - y0)[None, :].astype(jnp.bfloat16)
+    ix0 = x0.astype(jnp.int32)[None, :]
+    iy0w = (y0.astype(jnp.int32) * w)[None, :]
+
+    one = jnp.bfloat16(1.0)
+    iox = jax.lax.broadcasted_iota(jnp.int32, (w, tile), 0)
+    ohx = ((iox == ix0).astype(jnp.bfloat16) * (one - wx)
+           + (iox == ix0 + 1).astype(jnp.bfloat16) * wx)
+    ohx_full = pltpu.repeat(ohx, h, axis=0)            # [h*w, tile], row p -> p%w
+
+    iop = jax.lax.broadcasted_iota(jnp.int32, (h * w, tile), 0)
+    row0 = ((iop >= iy0w) & (iop < iy0w + w))
+    row1 = ((iop >= iy0w + w) & (iop < iy0w + 2 * w))
+    ohy_full = (row0.astype(jnp.bfloat16) * (one - wy)
+                + row1.astype(jnp.bfloat16) * wy)
+    return ohx_full * ohy_full
 
 
 def _bwd_kernel(h: int, w: int, g_ref, coords_ref, out_ref, acc_ref):
@@ -104,13 +163,13 @@ def _bwd_kernel(h: int, w: int, g_ref, coords_ref, out_ref, acc_ref):
 
     def body(k, _):
         sl = pl.ds(k * _TILE_N, _TILE_N)
-        w_mat = _separable_w(coords_ref[sl, :], h, w)
-        # contract the tile axis without materializing a transposed W copy
-        contrib = jax.lax.dot_general(
-            w_mat, g_ref[sl, :],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        acc_ref[:] += contrib
+        coords = coords_ref[sl, :]
+
+        @pl.when(_any_in_bounds(coords))
+        def _():
+            w_t = _separable_w_T(coords, h, w)          # [h*w, tile]
+            acc_ref[:] += jnp.dot(w_t, g_ref[sl, :],
+                                  preferred_element_type=jnp.float32)
         return 0
 
     jax.lax.fori_loop(0, _SUPER, body, 0)

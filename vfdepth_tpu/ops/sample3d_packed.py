@@ -1,0 +1,173 @@
+"""Row-packed trilinear 3D sampling: ONE wide-row gather / scatter per point.
+
+TPU XLA gathers and scatters are row-count-bound (~40-100M rows/s almost
+independent of row width; see docs/PERF.md "Gather economics").  The plain
+formulation of the voxel->frustum trilinear sample (reference
+``network/volumetric_fusionnet.py:261``, ours ``ops/grid_sample.py``) issues
+8 tap-gathers forward and one fused 8-tap scatter backward — 9.2M rows per
+direction at DDAD shapes, ~30 ms fwd + ~150 ms bwd on v5e.
+
+This module packs the whole 2x2x2 trilinear footprint into the channel axis
+("oct" layout) so each point costs ONE row:
+
+  forward:  vol [B,D,H,W,C] -> transpose [B,H,W,D,C] -> 8 shifted copies
+            stacked as vol_oct [B, H*W*D, 8*C]; one gather of [B,N] rows,
+            then an in-register weighted combine of the 8 tap slices.
+  backward: updates [B,N,8*C] = (tap weights x g) scattered by ONE
+            ``.at[idx].add`` into a zero oct accumulator, then 8 *dense*
+            shift-adds fold the taps back into vol layout (dense adds are
+            bandwidth-trivial next to the scatter).
+
+Semantics are exactly align_corners=True + zeros padding (torch
+``F.grid_sample(mode='bilinear')`` in 3D): footprint bases clamp to
+[0, size-2] per axis and the two per-axis weights are re-derived from the
+clamp offset, so out-of-range taps get weight 0 (the warp_quad trick).
+Non-finite coordinates produce zeros. Coordinates carry no gradient (they
+are functions of calibration constants in the reprojection).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _axis_weights(coord: jnp.ndarray, size: int):
+    """Clamped footprint base + the 2 per-axis tap weights.
+
+    For pixel coordinate p with floor p0 and frac t:
+      base = clip(p0, 0, size-2), off = p0 - base
+      w(ch0 @ base)   = (1-t)*[off==0] + t*[off==-1]
+      w(ch1 @ base+1) = t*[off==0] + (1-t)*[off==+1]
+    which equals zeros-padding bilinear on that axis for every case
+    (|off| > 1 -> both weights 0).
+    """
+    p0 = jnp.floor(coord)
+    t = coord - p0
+    i0 = p0.astype(jnp.int32)
+    base = jnp.clip(i0, 0, size - 2)
+    off = i0 - base
+    is0 = (off == 0).astype(coord.dtype)
+    ism1 = (off == -1).astype(coord.dtype)
+    isp1 = (off == 1).astype(coord.dtype)
+    w0 = (1 - t) * is0 + t * ism1
+    w1 = t * is0 + (1 - t) * isp1
+    return base, w0, w1
+
+
+def _tap_index_weights(coords: jnp.ndarray, d: int, h: int, w: int):
+    """coords [B, N, 3] (x, y, z normalized) -> flat base idx [B, N] into
+    (h*w*d) in [y, x, z] order + tap weights [B, N, 8] (z fastest)."""
+    finite = jnp.all(jnp.isfinite(coords), axis=-1)
+    coords = jnp.where(finite[..., None], coords, -4.0)
+    x = (coords[..., 0] + 1.0) * 0.5 * (w - 1)
+    y = (coords[..., 1] + 1.0) * 0.5 * (h - 1)
+    z = (coords[..., 2] + 1.0) * 0.5 * (d - 1)
+    xb, wx0, wx1 = _axis_weights(x, w)
+    yb, wy0, wy1 = _axis_weights(y, h)
+    zb, wz0, wz1 = _axis_weights(z, d)
+    idx = (yb * w + xb) * d + zb
+    # tap order must match _build_oct: (dy, dx, dz) with dz fastest
+    wgt = jnp.stack([
+        wy0 * wx0 * wz0, wy0 * wx0 * wz1,
+        wy0 * wx1 * wz0, wy0 * wx1 * wz1,
+        wy1 * wx0 * wz0, wy1 * wx0 * wz1,
+        wy1 * wx1 * wz0, wy1 * wx1 * wz1,
+    ], axis=-1)
+    return idx, wgt
+
+
+def _shift(a: jnp.ndarray, axis: int, delta: int) -> jnp.ndarray:
+    """Shift ``a`` by -delta along ``axis`` zero-filling (delta in {0, 1}):
+    out[i] = a[i + delta] (the oct copy at base i holds vol[i + delta])."""
+    if delta == 0:
+        return a
+    sl = [slice(None)] * a.ndim
+    sl[axis] = slice(1, None)
+    pad = [(0, 0)] * a.ndim
+    pad[axis] = (0, 1)
+    return jnp.pad(a[tuple(sl)], pad)
+
+
+def _shift_fwd(a: jnp.ndarray, axis: int, delta: int) -> jnp.ndarray:
+    """Inverse of _shift for the backward fold: gradient accumulated at base
+    i for the (+delta) tap belongs to vol[i + delta] -> out[j] = a[j - delta]
+    (zero-fill at the front). Bases never exceed size-2 so nothing is lost
+    off the end."""
+    if delta == 0:
+        return a
+    sl = [slice(None)] * a.ndim
+    sl[axis] = slice(0, a.shape[axis] - 1)
+    pad = [(0, 0)] * a.ndim
+    pad[axis] = (1, 0)
+    return jnp.pad(a[tuple(sl)], pad)
+
+
+_TAPS = [(dy, dx, dz) for dy in (0, 1) for dx in (0, 1) for dz in (0, 1)]
+
+
+def _build_oct(vol_t: jnp.ndarray) -> jnp.ndarray:
+    """vol_t [B, H, W, D, C] -> [B, H*W*D, 8*C] with the 8 shifted copies
+    stacked along channels (tap order = _TAPS, dz fastest)."""
+    b, h, w, d, c = vol_t.shape
+    copies = []
+    for dy, dx, dz in _TAPS:
+        v = _shift(_shift(_shift(vol_t, 1, dy), 2, dx), 3, dz)
+        copies.append(v)
+    oct = jnp.stack(copies, axis=4)  # [B, H, W, D, 8, C]
+    return oct.reshape(b, h * w * d, 8 * c)
+
+
+@jax.custom_vjp
+def grid_sample_3d_packed(vol: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Trilinear sample (zeros padding, align_corners) with packed rows.
+
+    vol: [B, D, H, W, C] (D = z, H = y, W = x — torch 3D grid_sample layout).
+    coords: [B, *pts, 3] with last dim (x, y, z) in [-1, 1].
+    Returns [B, *pts, C]. Gradient flows to vol only (coords are constants
+    in the voxel->frustum reprojection).
+    """
+    return _packed_fwd_impl(vol, coords)
+
+
+def _packed_fwd_impl(vol, coords):
+    b, d, h, w, c = vol.shape
+    pts_shape = coords.shape[1:-1]
+    coords_flat = coords.reshape(b, -1, 3)
+    vol_t = jnp.moveaxis(vol, 1, 3)  # [B, H, W, D, C]
+    oct = _build_oct(vol_t)
+    idx, wgt = _tap_index_weights(coords_flat, d, h, w)
+    rows = jnp.take_along_axis(oct, idx[..., None], axis=1)  # [B, N, 8C]
+    n = rows.shape[1]
+    rows = rows.reshape(b, n, 8, c)
+    out = jnp.sum(rows * wgt[..., None].astype(rows.dtype), axis=2)
+    return out.reshape((b,) + pts_shape + (c,))
+
+
+def _packed_fwd(vol, coords):
+    return _packed_fwd_impl(vol, coords), (coords, vol.shape)
+
+
+def _packed_bwd(res, g):
+    coords, vol_shape = res
+    b, d, h, w, c = vol_shape
+    coords_flat = coords.reshape(b, -1, 3)
+    n = coords_flat.shape[1]
+    g_flat = g.reshape(b, n, c)
+    idx, wgt = _tap_index_weights(coords_flat, d, h, w)
+    # updates stay f32: the scatter accumulates many collisions per voxel
+    updates = (g_flat[:, :, None, :].astype(jnp.float32)
+               * wgt[..., None].astype(jnp.float32)).reshape(b, n, 8 * c)
+    acc = jnp.zeros((b, h * w * d, 8 * c), jnp.float32)
+    acc = jax.vmap(lambda a, i, u: a.at[i].add(u))(acc, idx, updates)
+    acc = acc.reshape(b, h, w, d, 8, c)
+    # fold the 8 tap planes back into vol layout with dense shift-adds
+    dvol_t = jnp.zeros((b, h, w, d, c), jnp.float32)
+    for t, (dy, dx, dz) in enumerate(_TAPS):
+        part = acc[:, :, :, :, t, :]
+        dvol_t = dvol_t + _shift_fwd(_shift_fwd(_shift_fwd(
+            part, 3, dz), 2, dx), 1, dy)
+    dvol = jnp.moveaxis(dvol_t, 3, 1).astype(g.dtype)
+    return dvol, jnp.zeros_like(coords)
+
+
+grid_sample_3d_packed.defvjp(_packed_fwd, _packed_bwd)
