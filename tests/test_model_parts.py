@@ -111,3 +111,24 @@ def test_decoder_output_resolutions():
     out = mdec.apply(vars_, feats)
     assert out["disp/0"].shape == (1, 64, 64, 1)
     assert out["disp/3"].shape == (1, 8, 8, 1)
+
+
+@pytest.mark.parametrize("models", [("fusion", "fusion"), ("fsm", "fsm")])
+def test_batched_pose_frames_match_looped(models):
+    """`tpu.batch_pose_frames` must not change eval-mode predictions: one
+    stacked pose pass over both context frames == two separate passes
+    (exactly, since eval-mode BN uses running stats)."""
+    depth_model, pose_model = models
+    cfg = micro_config(depth_model=depth_model, pose_model=pose_model)
+    model = VFDepthModel(cfg)
+    batch = _batch(cfg)
+    params, stats = model.init(jax.random.PRNGKey(0), batch)
+
+    model.batch_pose_frames = True
+    batched, _ = model.predict_pose(params["pose_net"], stats["pose_net"],
+                                    batch, train=False)
+    model.batch_pose_frames = False
+    looped, _ = model.predict_pose(params["pose_net"], stats["pose_net"],
+                                   batch, train=False)
+    np.testing.assert_allclose(np.asarray(batched), np.asarray(looped),
+                               atol=1e-5)

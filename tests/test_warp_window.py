@@ -1,0 +1,125 @@
+"""Windowed spatio/spatio-temporal warps must equal the dense formulation.
+
+The windows are exact-conservative by construction (geometry/warp_window.py):
+every target pixel outside the per-pair windows provably computes zero image,
+zero mask, and zero coordinate gradient in the dense path. These tests check
+value equality of the full rendered outputs and gradient equality w.r.t.
+depth on a realistic 6-camera rig.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vfdepth_tpu.config import get_relcam, DDAD_CAM_LIST
+from vfdepth_tpu.data.fake import FakeDataset
+from vfdepth_tpu.geometry import relative_cam_poses, invert_pose, vec_to_matrix
+from vfdepth_tpu.geometry.view_rendering import render_views
+from vfdepth_tpu.geometry.warp_window import compute_windows, estimate_window_hw
+
+H, W = 64, 96
+CAMS = 6
+MIN_D, MAX_D, FSCALE = 1.5, 200.0, 300.0
+
+
+def _rel_cam():
+    rel = np.full((CAMS, 2), -1, np.int32)
+    relmap = get_relcam(DDAD_CAM_LIST)
+    for c in range(CAMS):
+        for j, n in enumerate(relmap.get(c, [])[:2]):
+            rel[c, j] = n
+    return rel
+
+
+def _setup(seed=0):
+    rng = np.random.RandomState(seed)
+    ds = FakeDataset(num_samples=2, num_cams=CAMS, height=H, width=W)
+    batch = ds.batch([0])
+    k = jnp.asarray(batch["K/0"])
+    inv_k = jnp.asarray(batch["inv_K/0"])
+    ext = jnp.asarray(batch["extrinsics"])
+    ext_inv = jnp.asarray(batch["extrinsics_inv"])
+    mask = jnp.asarray(batch["mask"])
+    colors = {f: jnp.asarray(batch[f"color/{f}/0"]) for f in (0, -1, 1)}
+
+    # depth strictly inside the guaranteed network range [min*fx/300, max*fx/300]
+    fx = np.asarray(batch["K/0"])[0, :, 0, 0]
+    lo = MIN_D * fx / FSCALE
+    hi = MAX_D * fx / FSCALE
+    u = rng.rand(1, CAMS, H, W, 1).astype(np.float32)
+    depth = jnp.asarray(lo[None, :, None, None, None] * (1 - u)
+                        + hi[None, :, None, None, None] * u * 0.2)
+
+    # small egomotion per context frame
+    aa = jnp.asarray(rng.uniform(-0.02, 0.02, (1, 3)).astype(np.float32))
+    tr = jnp.asarray(rng.uniform(-0.5, 0.5, (1, 3)).astype(np.float32))
+    canon = vec_to_matrix(aa, tr)
+    from vfdepth_tpu.geometry import distribute_pose
+    cam_t = distribute_pose(canon, ext, ext_inv)
+    cam_t_cam = jnp.stack([cam_t, invert_pose(cam_t)], axis=2)
+
+    rel = _rel_cam()
+    spatio_pose, st_pose = relative_cam_poses(ext, ext_inv, cam_t_cam,
+                                              jnp.asarray(rel))
+    return dict(k=k, inv_k=inv_k, mask=mask, colors=colors, depth=depth,
+                cam_t_cam=cam_t_cam, spatio_pose=spatio_pose,
+                st_pose=st_pose, rel=rel, batch=batch)
+
+
+def _render(s, windows):
+    return render_views(
+        s["colors"], s["mask"], s["k"], s["inv_k"], s["depth"],
+        s["cam_t_cam"], s["spatio_pose"], s["st_pose"],
+        jnp.asarray(s["rel"]), (0, -1, 1), do_intensity_align=True,
+        spatio=True, spatio_temporal=True,
+        min_depth=MIN_D, max_depth=MAX_D, windows=windows)
+
+
+def _windows(s, box_hw=None):
+    if box_hw is None:
+        b = s["batch"]
+        box_hw = estimate_window_hw(
+            b["K/0"][0], b["inv_K/0"][0], b["extrinsics"][0],
+            np.maximum(s["rel"], 0), s["rel"] >= 0, H, W,
+            MIN_D, MAX_D, FSCALE)
+    rel = jnp.asarray(s["rel"])
+    return compute_windows(
+        s["inv_k"], s["k"], s["spatio_pose"], s["st_pose"],
+        jnp.maximum(rel, 0), rel >= 0, H, W, box_hw, MIN_D, MAX_D, FSCALE)
+
+
+def test_windowed_equals_dense():
+    s = _setup()
+    win = _windows(s)
+    assert float(win.overflow) == 0.0
+    dense = _render(s, None)
+    boxed = _render(s, win)
+    np.testing.assert_allclose(np.asarray(boxed.overlap_img),
+                               np.asarray(dense.overlap_img), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(boxed.overlap_mask),
+                               np.asarray(dense.overlap_mask), atol=1e-6)
+
+
+def test_windowed_depth_gradient_equals_dense():
+    s = _setup(seed=1)
+    win = _windows(s)
+
+    def loss(depth, windows):
+        out = render_views(
+            s["colors"], s["mask"], s["k"], s["inv_k"], depth,
+            s["cam_t_cam"], s["spatio_pose"], s["st_pose"],
+            jnp.asarray(s["rel"]), (0, -1, 1), do_intensity_align=True,
+            spatio=True, spatio_temporal=True,
+            min_depth=MIN_D, max_depth=MAX_D, windows=windows)
+        return (jnp.sum(out.overlap_img ** 2)
+                + jnp.sum(out.overlap_mask * 0.3))
+
+    g_dense = jax.grad(lambda d: loss(d, None))(s["depth"])
+    g_boxed = jax.grad(lambda d: loss(d, win))(s["depth"])
+    np.testing.assert_allclose(np.asarray(g_boxed), np.asarray(g_dense),
+                               atol=1e-3, rtol=1e-4)
+
+
+def test_undersized_window_sets_overflow():
+    s = _setup()
+    win = _windows(s, box_hw=((8, 64), (8, 64)))
+    assert float(win.overflow) > 0.0

@@ -69,6 +69,41 @@ def project_coords(depth: jnp.ndarray, transform: jnp.ndarray, inv_k: jnp.ndarra
     return reproject(k, cam_points, transform, h, w)
 
 
+def project_coords_window(depth_box: jnp.ndarray, origin: jnp.ndarray,
+                          transform: jnp.ndarray, inv_k: jnp.ndarray,
+                          k: jnp.ndarray, norm_h: int, norm_w: int) -> jnp.ndarray:
+    """``project_coords`` for a window of the target image.
+
+    Identical math to the dense version on the sub-rectangle of target
+    pixels starting at ``origin`` (y0, x0): the pixel grid is offset by the
+    (traced) origin and normalization uses the FULL source resolution.
+
+    Args:
+      depth_box: [..., Hb, Wb, 1] target depth window.
+      origin: [..., 2] int (y0, x0), same leading dims as depth_box.
+      transform/inv_k/k: [..., 4, 4].
+    Returns: [..., Hb, Wb, 2] normalized sample coords into the full source.
+    """
+    hb, wb = depth_box.shape[-3], depth_box.shape[-2]
+    dtype = depth_box.dtype
+    grid = pixel_grid_homo(hb, wb, dtype)  # [3, Hb*Wb]
+    off = jnp.stack([origin[..., 1], origin[..., 0],
+                     jnp.zeros_like(origin[..., 0])], axis=-1).astype(dtype)
+    grid_full = grid + off[..., :, None]   # [..., 3, P]
+    rays = jnp.einsum("...ij,...jn->...in", inv_k[..., :3, :3], grid_full)
+    pts = rays * depth_box.reshape(depth_box.shape[:-3] + (1, hb * wb))
+    ones = jnp.ones_like(pts[..., :1, :])
+    pts_h = jnp.concatenate([pts, ones], axis=-2)
+
+    proj = jnp.einsum("...ij,...jk->...ik", k, transform)[..., :3, :]
+    pts2d = jnp.einsum("...ij,...jn->...in", proj, pts_h)
+    xy = pts2d[..., :2, :] / (pts2d[..., 2:3, :] + 1e-7)
+    scale = jnp.array([2.0 / (norm_w - 1), 2.0 / (norm_h - 1)], dtype=xy.dtype)
+    xy = xy * scale[..., :, None] - 1.0
+    xy = jnp.moveaxis(xy, -2, -1)
+    return xy.reshape(xy.shape[:-2] + (hb, wb, 2))
+
+
 # ---------------------------------------------------------------------------
 # Voxel-volume grids (VFNet)
 # ---------------------------------------------------------------------------

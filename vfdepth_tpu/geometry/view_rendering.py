@@ -25,8 +25,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .projection import backproject, project_coords
+from .projection import backproject, project_coords, project_coords_window
 from .se3 import invert_pose
+from .warp_window import WarpWindows
 from ..ops.grid_sample import grid_sample_2d
 
 
@@ -67,6 +68,93 @@ def warp_image(src_img: jnp.ndarray, src_mask: jnp.ndarray,
     in_bounds = jnp.all((coords >= -1.0) & (coords <= 1.0), axis=-1,
                         keepdims=True).astype(src_img.dtype)
     return img_w, in_bounds * mask_w
+
+
+def _slice_boxes(img: jnp.ndarray, origin: jnp.ndarray, box_h: int,
+                 box_w: int) -> jnp.ndarray:
+    """Per-element dynamic windows: img [*lead, H, W, C], origin [*lead, 2]
+    -> [*lead, box_h, box_w, C]."""
+    lead = img.shape[:-3]
+    c = img.shape[-1]
+    img_flat = img.reshape((-1,) + img.shape[-3:])
+    org_flat = origin.reshape(-1, 2)
+
+    def one(im, org):
+        return jax.lax.dynamic_slice(im, (org[0], org[1], 0),
+                                     (box_h, box_w, c))
+
+    out = jax.vmap(one)(img_flat, org_flat)
+    return out.reshape(lead + (box_h, box_w, c))
+
+
+def _paste_boxes(canvas: jnp.ndarray, boxes: jnp.ndarray,
+                 origin: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of _slice_boxes: overwrite each window of ``canvas``
+    [*lead, H, W, C] with boxes [*lead, Hb, Wb, C] at origin [*lead, 2]."""
+    lead = boxes.shape[:-3]
+    canvas_flat = canvas.reshape((-1,) + canvas.shape[-3:])
+    boxes_flat = boxes.reshape((-1,) + boxes.shape[-3:])
+    org_flat = origin.reshape(-1, 2)
+
+    def one(cv, box, org):
+        return jax.lax.dynamic_update_slice(cv, box, (org[0], org[1], 0))
+
+    out = jax.vmap(one)(canvas_flat, boxes_flat, org_flat)
+    return out.reshape(canvas.shape)
+
+
+def warp_image_window(src_img: jnp.ndarray, src_mask: jnp.ndarray,
+                      tar_depth: jnp.ndarray, tar_inv_k: jnp.ndarray,
+                      src_k: jnp.ndarray, transform: jnp.ndarray,
+                      origin: jnp.ndarray,
+                      box_hw: Tuple[Tuple[int, int], Tuple[int, int]]
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """``warp_image`` restricted to per-element target windows, pasted back
+    into a zero canvas.
+
+    ``origin`` is [*lead, n_slot, 2]: each camera pair gets one window per
+    slot (near / pole, see geometry/warp_window.py) with static per-slot
+    sizes ``box_hw[slot]``. Windows may overlap; every window computes the
+    exact dense value for every pixel it covers, so later pastes
+    overwriting earlier ones are idempotent.
+
+    Exact-equal to the dense warp when the windows jointly cover every
+    target pixel with a nonzero warped value, mask, or coordinate gradient —
+    which ``compute_windows`` guarantees by construction. Cuts warp gather
+    rows by the window/image area ratio (the dominant per-step cost at DDAD
+    shapes; docs/PERF.md).
+    """
+    from ..ops.warp_quad import warp_image_mask_quad
+
+    h, w, c = src_img.shape[-3], src_img.shape[-2], src_img.shape[-1]
+    lead = src_img.shape[:-3]
+    n_lead = int(np.prod(lead)) if lead else 1
+    img_flat = src_img.reshape(n_lead, h, w, c)
+    mask_flat = src_mask.reshape(n_lead, h, w, 1)
+
+    img_w = jnp.zeros(lead + (h, w, c), src_img.dtype)
+    mask_w = jnp.zeros(lead + (h, w, 1), src_img.dtype)
+    for slot in range(origin.shape[-2]):
+        box_h, box_w = box_hw[slot]
+        org = origin[..., slot, :]
+        dep_box = _slice_boxes(tar_depth, org, box_h, box_w)
+        coords = project_coords_window(dep_box, org, transform, tar_inv_k,
+                                       src_k, h, w)
+        coords_flat = coords.reshape(n_lead, -1, 2)
+        img_b, mask_b = warp_image_mask_quad(img_flat, mask_flat, coords_flat)
+        img_b = img_b.reshape(lead + (box_h, box_w, c))
+        mask_b = mask_b.reshape(lead + (box_h, box_w, 1))
+
+        finite = jnp.all(jnp.isfinite(coords), axis=-1, keepdims=True)
+        img_b = jnp.where(finite, img_b, 2.0)
+        mask_b = mask_b * finite.astype(mask_b.dtype)
+        in_bounds = jnp.all((coords >= -1.0) & (coords <= 1.0), axis=-1,
+                            keepdims=True).astype(src_img.dtype)
+        mask_b = in_bounds * mask_b
+
+        img_w = _paste_boxes(img_w, img_b, org)
+        mask_w = _paste_boxes(mask_w, mask_b, org)
+    return img_w, mask_w
 
 
 def warp_depth(src_depth: jnp.ndarray, src_mask: jnp.ndarray,
@@ -166,6 +254,7 @@ def render_views(
     depth_aug: Optional[jnp.ndarray] = None,        # [b, cams, H, W, 1]
     min_depth: float = 1.5,
     max_depth: float = 200.0,
+    windows: Optional[WarpWindows] = None,
 ) -> RenderOutputs:
     """Render every warped view needed by the losses for one scale."""
     ctx_ids = list(frame_ids[1:])
@@ -198,14 +287,19 @@ def render_views(
         nbr_mask = mask[:, rel_idx]
         nbr_k = k[:, rel_idx]
 
-        def overlap_for(src_frame_colors, pose):
+        def overlap_for(src_frame_colors, pose, origin=None):
             """pose: [b, cams, n_nbr, 4, 4]; returns summed img/mask."""
             src = src_frame_colors[:, rel_idx]  # [b, cams, n_nbr, H, W, 3]
             depn = jnp.broadcast_to(depth[:, :, None], depth.shape[:2] + (n_nbr,) + depth.shape[2:])
-            w_img, w_mask = warp_image(
-                src, nbr_mask, depn,
-                jnp.broadcast_to(inv_k[:, :, None], inv_k.shape[:2] + (n_nbr, 4, 4)),
-                nbr_k, pose)
+            invkn = jnp.broadcast_to(inv_k[:, :, None],
+                                     inv_k.shape[:2] + (n_nbr, 4, 4))
+            if origin is not None:
+                w_img, w_mask = warp_image_window(
+                    src, nbr_mask, depn, invkn, nbr_k, pose,
+                    origin, windows.box_hw)
+            else:
+                w_img, w_mask = warp_image(src, nbr_mask, depn, invkn,
+                                           nbr_k, pose)
             w_mask = w_mask * nbr_valid_f
             if do_intensity_align:
                 refi = jnp.broadcast_to(colors[0][:, :, None], w_img.shape)
@@ -216,11 +310,15 @@ def render_views(
                     jnp.sum(w_mask, axis=2))
 
         imgs, masks = [], []
-        o_img, o_mask = overlap_for(colors[0], spatio_pose)
+        o_img, o_mask = overlap_for(
+            colors[0], spatio_pose,
+            windows.spatio_origin if windows is not None else None)
         imgs.append(o_img)
         masks.append(o_mask)
         for fi, f in enumerate(ctx_ids):
-            o_img, o_mask = overlap_for(colors[f], spatio_tempo_pose[:, :, fi])
+            o_img, o_mask = overlap_for(
+                colors[f], spatio_tempo_pose[:, :, fi],
+                windows.st_origin[:, :, fi] if windows is not None else None)
             imgs.append(o_img)
             masks.append(o_mask)
         overlap_img = jnp.stack(imgs, axis=2)    # [b, cams, 1+n_ctx, H, W, 3]

@@ -77,13 +77,44 @@ class VFDepthModel:
         self.intensity_align = cfg.intensity_align
         self.compute_dtype = (jnp.bfloat16 if cfg.get("mixed_precision", False)
                               else None)
+        # Batch the per-context-frame pose passes into ONE network apply
+        # (reference runs FusedPoseNet once per context frame,
+        # models/vfdepth.py:231-242 -> 2 encoder passes/step). Stacking the
+        # frame pairs along batch halves the fixed per-pass overheads and
+        # feeds the MXU bigger matmuls. BatchNorm note: train-mode batch
+        # stats pool over both frame pairs instead of per-pass — the same
+        # family of stat pooling the reference's SyncBN does across DDP
+        # replicas (models/vfdepth.py:68); eval-mode outputs are identical.
+        self.batch_pose_frames = bool(cfg.get("batch_pose_frames", True))
+        # Windowed spatio/spatio-temporal warps: warp only the (exact,
+        # conservatively bounded) target sub-rectangle that can ever receive
+        # a nonzero value/mask/gradient for each camera pair — bit-identical
+        # loss semantics at a fraction of the gather rows (geometry/
+        # warp_window.py). The static window size needs rig calibration:
+        # call configure_warp_window(sample) before compiling, or set
+        # tpu.warp_window_hw explicitly.
+        self.warp_window = bool(cfg.get("warp_window", True))
+        hw = cfg.get("warp_window_hw", None)  # [h, w] or [[h0,w0],[h1,w1]]
+        if hw and not isinstance(hw[0], (list, tuple)):
+            hw = (tuple(hw), tuple(hw))
+        self.warp_window_hw = (tuple(map(tuple, hw)) if hw else None)
         # Rematerialize network applies in the backward pass (jax.checkpoint):
         # trades an extra network forward for dropping the encoder/decoder
         # activations from HBM, which is what gates batch>=2 on a single chip
         # at full 6-cam resolution. False | True/'all' | 'depth_net' | 'pose_net'.
         self.remat = cfg.get("remat", False)
 
+        # sampler selection: `tpu.sampler_2d` / `tpu.sampler_3d`, with the
+        # simpler `tpu.use_pallas: False` mapping to the one-hot-matmul XLA
+        # fallback (still scatter-free, unlike the plain gather path)
+        sampler_2d = cfg.get("sampler_2d")
+        if sampler_2d is None:
+            sampler_2d = "auto" if cfg.get("use_pallas", True) else "matmul"
+        sampler_3d = cfg.get("sampler_3d", "packed")
+
         vox_kwargs = dict(
+            sampler_2d=sampler_2d,
+            sampler_3d=sampler_3d,
             voxel_str_p=tuple(cfg.voxel_str_p),
             voxel_unit_size=tuple(cfg.voxel_unit_size),
             voxel_size=tuple(cfg.voxel_size),
@@ -120,6 +151,45 @@ class VFDepthModel:
         else:
             self.pose_net = MonoPoseNet(num_layers=cfg.num_layers,
                                         dtype=self.compute_dtype)
+
+    # ------------------------------------------------------------------
+    def configure_warp_window(self, batch) -> None:
+        """Host-side: size the static warp windows from the rig calibration
+        of one (numpy or device) batch. No-op when tpu.warp_window is off or
+        an explicit tpu.warp_window_hw override is set."""
+        if not self.warp_window or self.warp_window_hw is not None:
+            return
+        if not (self.loss_cfg.spatio or self.loss_cfg.spatio_temporal):
+            self.warp_window = False
+            return
+        from ..geometry.warp_window import estimate_window_hw
+        rel = np.asarray(self.rel_cam)
+        k0 = np.asarray(batch["K/0"])[0]
+        ik0 = np.asarray(batch["inv_K/0"])[0]
+        ext = np.asarray(batch["extrinsics"])[0]
+        hw = estimate_window_hw(
+            k0, ik0, ext, np.maximum(rel, 0), rel >= 0,
+            self.height, self.width, self.min_depth, self.max_depth,
+            self.focal_length_scale)
+        # near-full windows would only add slicing overhead
+        area = sum(h * w for h, w in hw)
+        if area >= 0.9 * self.height * self.width:
+            self.warp_window = False
+            return
+        self.warp_window_hw = hw
+
+    def _windows(self, batch, spatio_pose, st_pose):
+        if not self.warp_window or self.warp_window_hw is None:
+            return None
+        if spatio_pose is None or st_pose is None:
+            return None
+        from ..geometry.warp_window import compute_windows
+        rel = jnp.asarray(self.rel_cam)
+        return compute_windows(
+            batch["inv_K/0"], batch["K/0"], spatio_pose, st_pose,
+            jnp.maximum(rel, 0), rel >= 0, self.height, self.width,
+            self.warp_window_hw, self.min_depth, self.max_depth,
+            self.focal_length_scale)
 
     # ------------------------------------------------------------------
     def init(self, rng: jax.Array, batch: Dict[str, jnp.ndarray]):
@@ -198,7 +268,41 @@ class VFDepthModel:
         fusion_ik = f"inv_K/{self.fusion_level + 1}"
         new_stats = stats
         mats = []
-        for f in self.frame_ids[1:]:
+        ctx = self.frame_ids[1:]
+
+        if self.batch_pose_frames and len(ctx) > 1:
+            bsz, cams = batch["color_aug/0/0"].shape[:2]
+            n_ctx = len(ctx)
+            curs = jnp.concatenate(
+                [batch[f"color_aug/{f if f < 0 else 0}/0"] for f in ctx], axis=0)
+            nxts = jnp.concatenate(
+                [batch[f"color_aug/{0 if f < 0 else f}/0"] for f in ctx], axis=0)
+            if isinstance(self.pose_net, FusedPoseNet):
+                def tile(x):
+                    return jnp.concatenate([x] * n_ctx, axis=0)
+                (axisangle, translation), new_stats = self._apply(
+                    self.pose_net, params, new_stats, curs, nxts,
+                    tile(batch["mask"]), tile(batch[fusion_k]),
+                    tile(batch[fusion_ik]), tile(batch["extrinsics"]),
+                    tile(batch["extrinsics_inv"]), train=train)
+                aa = axisangle[:, 0, 0].reshape(n_ctx, bsz, 3)
+                tr = translation[:, 0, 0].reshape(n_ctx, bsz, 3)
+                for i, f in enumerate(ctx):
+                    canon = vec_to_matrix(aa[i], tr[i], invert=(f < 0))
+                    mats.append(distribute_pose(canon, batch["extrinsics"],
+                                                batch["extrinsics_inv"]))
+            else:
+                (axisangle, translation), new_stats = self._apply(
+                    self.pose_net, params, new_stats,
+                    pack_cam_feat(curs), pack_cam_feat(nxts), train=train)
+                aa = axisangle[:, 0, 0].reshape(n_ctx, bsz * cams, 3)
+                tr = translation[:, 0, 0].reshape(n_ctx, bsz * cams, 3)
+                for i, f in enumerate(ctx):
+                    mat = vec_to_matrix(aa[i], tr[i], invert=(f < 0))
+                    mats.append(unpack_cam_feat(mat, bsz, cams))
+            return jnp.stack(mats, axis=2), new_stats
+
+        for f in ctx:
             a, b_ = (f, 0) if f < 0 else (0, f)
             cur = batch[f"color_aug/{a}/0"]
             nxt = batch[f"color_aug/{b_}/0"]
@@ -292,6 +396,8 @@ class VFDepthModel:
         spatio_pose, st_pose = relative_cam_poses(
             batch["extrinsics"], batch["extrinsics_inv"], cam_t_cam, self.rel_cam)
 
+        windows = self._windows(batch, spatio_pose, st_pose)
+
         colors = {f: batch[f"color/{f}/0"] for f in self.frame_ids}
         rendered: Dict[int, RenderOutputs] = {}
         for s in self.scales:
@@ -306,11 +412,16 @@ class VFDepthModel:
                 extrinsics=batch["extrinsics"],
                 extrinsics_aug=extrinsics_aug,
                 depth_aug=depths_aug[s] if depths_aug else None,
-                min_depth=self.min_depth, max_depth=self.max_depth)
+                min_depth=self.min_depth, max_depth=self.max_depth,
+                windows=windows)
 
         loss, logs = total_loss(rng_noise, self.loss_cfg, batch, disps, depths,
                                 cam_t_cam, rendered,
                                 disps_aug=disps_aug, depths_aug=depths_aug)
+        if windows is not None:
+            # >0 would mean a warp window truncated real content this step
+            # (should never fire with the setup-time motion margin)
+            logs["warp_window_overflow"] = windows.overflow
 
         outputs = {"cam_T_cam": cam_t_cam}
         for s in self.scales:

@@ -48,6 +48,9 @@ def make_optimizer(learning_rate, scheduler_step_size: int,
 
 def create_train_state(model: VFDepthModel, rng: jax.Array, batch,
                        steps_per_epoch: int = 0) -> Tuple[TrainState, optax.GradientTransformation]:
+    # size the static warp windows from this batch's rig calibration
+    # (host-side, before any step compiles)
+    model.configure_warp_window(batch)
     params, batch_stats = model.init(rng, batch)
     tx = make_optimizer(model.cfg.learning_rate,
                         model.cfg.scheduler_step_size, steps_per_epoch)
