@@ -51,3 +51,85 @@ def test_compute_depth_metrics_masking():
 
 def test_pretty_ts():
     assert pretty_ts(3723) == "01h02m03s"
+
+
+def test_compute_depth_metrics_matches_torch_reference():
+    """Golden parity: our metrics pipeline (sparse-preserving GT resize +
+    pred interpolation + masking + median scaling) must agree with a torch
+    transcription of the reference's eval protocol
+    (reference utils/logger.py:193-247 + packnet resize_depth_preserve)."""
+    import torch
+    import torch.nn.functional as F
+    from vfdepth_tpu.data.transforms import resize_depth_preserve
+    from vfdepth_tpu.utils.metrics import compute_depth_metrics
+
+    rng = np.random.RandomState(0)
+    b, cams = 2, 3
+    gh, gw = 96, 160          # native GT resolution
+    nh, nw = 48, 80           # network resolution
+    lo, hi = 0.5, 80.0
+
+    # sparse lidar-like GT: ~4% of pixels carry depth
+    gt_native = np.zeros((b, cams, gh, gw), np.float32)
+    hits = rng.rand(b, cams, gh, gw) < 0.04
+    gt_native[hits] = rng.uniform(1.0, 90.0, hits.sum()).astype(np.float32)
+
+    pred = rng.uniform(1.0, 90.0, (b, cams, nh, nw, 1)).astype(np.float32)
+    occ = (rng.rand(b, cams, nh, nw, 1) > 0.2).astype(np.float32)
+
+    # ---- our pipeline -----------------------------------------------------
+    gt_net = np.stack([
+        np.stack([resize_depth_preserve(gt_native[i, c], (nh, nw))
+                  for c in range(cams)]) for i in range(b)])
+    ours_metric, ours_median, _ = compute_depth_metrics(
+        gt_net, pred, occ, lo, hi)
+
+    # ---- torch transcription of the reference ----------------------------
+    def torch_resize_depth_preserve(depth, shape):
+        h, w = depth.shape
+        uv = np.argwhere(depth > 0)
+        vals = depth[uv[:, 0], uv[:, 1]]
+        crd = (uv * np.array(shape) / np.array([h, w])).astype(np.int64)
+        out = np.zeros(shape, np.float32)
+        out[crd[:, 0], crd[:, 1]] = vals
+        return out
+
+    metric_acc = {}
+    median_acc = {}
+    names = ["abs_rel", "sq_rel", "rms", "log_rms", "a1", "a2", "a3"]
+    for cam in range(cams):
+        depth_gt = torch.tensor(np.stack([
+            torch_resize_depth_preserve(gt_native[i, cam], (nh, nw))
+            for i in range(b)]))[:, None]
+        _, _, h, w = depth_gt.shape
+        depth_pred = torch.tensor(pred[:, cam, ..., 0])[:, None]
+        depth_pred = torch.clamp(F.interpolate(
+            depth_pred, [h, w], mode="bilinear", align_corners=False), lo, hi)
+        mask = ((depth_gt > lo) * (depth_gt < hi)
+                * torch.tensor(occ[:, cam, ..., 0])[:, None]).bool()
+        dg = depth_gt[mask]
+        dp = depth_pred[mask]
+        scale = torch.median(dg) / torch.median(dp)
+        pm = torch.clamp(dp, min=lo, max=hi)
+        md = torch.clamp(dp * scale, min=lo, max=hi)
+
+        def err(p, t):
+            absr = torch.mean(torch.abs(p - t) / t)
+            sqr = torch.mean((p - t) ** 2 / t)
+            rmse = torch.sqrt(torch.mean((p - t) ** 2))
+            rl = torch.sqrt(torch.mean((torch.log(t) - torch.log(p)) ** 2))
+            th = torch.max(t / p, p / t)
+            return [absr, sqr, rmse, rl, (th < 1.25).float().mean(),
+                    (th < 1.25 ** 2).float().mean(),
+                    (th < 1.25 ** 3).float().mean()]
+
+        for k, v in zip(names, err(pm, dg)):
+            metric_acc[k] = metric_acc.get(k, 0.0) + float(v)
+        for k, v in zip(names, err(md, dg)):
+            median_acc[k] = median_acc.get(k, 0.0) + float(v)
+
+    for k in names:
+        np.testing.assert_allclose(ours_metric[k], metric_acc[k] / cams,
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(ours_median[k], median_acc[k] / cams,
+                                   rtol=1e-4, atol=1e-5)

@@ -70,26 +70,70 @@ def resize_mask(mask: np.ndarray, hw: Tuple[int, int]) -> np.ndarray:
     return mask[ys][:, xs][..., None].astype(np.float32)
 
 
+def resize_depth_preserve(depth: np.ndarray, hw: Tuple[int, int]) -> np.ndarray:
+    """Sparse-preserving depth resize (packnet-sfm ``resize_depth_preserve``
+    semantics, which the reference's DGP pipeline applies to lidar GT):
+    every valid source point is scattered onto the target grid at its scaled
+    integer position — ALL lidar returns survive (collisions overwrite),
+    unlike lattice subsampling which discards ~(1 - 1/scale^2) of them.
+
+    depth: [H0, W0] or [H0, W0, 1]; returns [h, w, 1] float32.
+    """
+    if depth.ndim == 3:
+        depth = depth[..., 0]
+    h0, w0 = depth.shape
+    h, w = hw
+    ys, xs = np.nonzero(depth > 0)
+    vals = depth[ys, xs]
+    ty = np.clip((ys * h / h0).astype(np.int64), 0, h - 1)
+    tx = np.clip((xs * w / w0).astype(np.int64), 0, w - 1)
+    out = np.zeros((h, w), np.float32)
+    out[ty, tx] = vals
+    return out[..., None]
+
+
 def _rgb_to_gray(img: np.ndarray) -> np.ndarray:
     return (0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2])[..., None]
 
 
-def color_jitter(rng: np.random.RandomState, img: np.ndarray,
-                 brightness: float, contrast: float, saturation: float,
-                 hue: float) -> np.ndarray:
-    """Torchvision-style jitter on a [H, W, 3] float image in [0, 1]."""
-    ops = []
+def draw_jitter_params(rng: np.random.RandomState, brightness: float,
+                       contrast: float, saturation: float, hue: float):
+    """Draw ONE torchvision-style jitter parameter set (factors + op order).
+
+    The reference draws one parameter set per SAMPLE and applies it to every
+    camera and context frame (torchvision ColorJitter called once per sample
+    by packnet's ``duplicate_sample``-style transform) — per-camera draws
+    would break cross-camera photometric consistency that the spatio losses
+    rely on.
+    """
+    params = {}
     if brightness > 0:
-        f = rng.uniform(max(0.0, 1 - brightness), 1 + brightness)
-        ops.append(lambda x: x * f)
+        params["brightness"] = rng.uniform(max(0.0, 1 - brightness), 1 + brightness)
     if contrast > 0:
-        f = rng.uniform(max(0.0, 1 - contrast), 1 + contrast)
-        ops.append(lambda x: (x - _rgb_to_gray(x).mean()) * f + _rgb_to_gray(x).mean())
+        params["contrast"] = rng.uniform(max(0.0, 1 - contrast), 1 + contrast)
     if saturation > 0:
-        f = rng.uniform(max(0.0, 1 - saturation), 1 + saturation)
-        ops.append(lambda x: (x - _rgb_to_gray(x)) * f + _rgb_to_gray(x))
+        params["saturation"] = rng.uniform(max(0.0, 1 - saturation), 1 + saturation)
     if hue > 0:
-        shift = rng.uniform(-hue, hue)
+        params["hue"] = rng.uniform(-hue, hue)
+    params["order"] = rng.permutation(len(params))
+    return params
+
+
+def apply_color_jitter(img: np.ndarray, params) -> np.ndarray:
+    """Apply a drawn jitter parameter set to a [H, W, 3] float image."""
+    ops = []
+    if "brightness" in params:
+        f = params["brightness"]
+        ops.append(lambda x, f=f: x * f)
+    if "contrast" in params:
+        f = params["contrast"]
+        ops.append(lambda x, f=f: (x - _rgb_to_gray(x).mean()) * f
+                   + _rgb_to_gray(x).mean())
+    if "saturation" in params:
+        f = params["saturation"]
+        ops.append(lambda x, f=f: (x - _rgb_to_gray(x)) * f + _rgb_to_gray(x))
+    if "hue" in params:
+        shift = params["hue"]
 
         def hue_op(x, shift=shift):
             # hue rotation in YIQ space (cheap approximation of HSV shift)
@@ -105,11 +149,18 @@ def color_jitter(rng: np.random.RandomState, img: np.ndarray,
             return x @ m.T
 
         ops.append(hue_op)
-    order = rng.permutation(len(ops)) if ops else []
     out = img
-    for i in order:
+    for i in params["order"]:
         out = ops[i](out)
     return np.clip(out, 0.0, 1.0).astype(np.float32)
+
+
+def color_jitter(rng: np.random.RandomState, img: np.ndarray,
+                 brightness: float, contrast: float, saturation: float,
+                 hue: float) -> np.ndarray:
+    """Torchvision-style jitter on a [H, W, 3] float image in [0, 1]."""
+    return apply_color_jitter(
+        img, draw_jitter_params(rng, brightness, contrast, saturation, hue))
 
 
 def assemble_sample(
@@ -135,13 +186,16 @@ def assemble_sample(
     k0[:, 1, :] *= h / raw_h
 
     do_jitter = any(j > 0 for j in jitter)
+    # ONE jitter parameter set per sample, shared by every camera and
+    # context frame (reference parity; see draw_jitter_params)
+    params = draw_jitter_params(rng, *jitter) if do_jitter else None
     sample: Dict[str, np.ndarray] = {}
     for f, imgs in images.items():
         resized = resize_images_batch(imgs, hw)
         sample[color_key(f, 0)] = resized
         if do_jitter:
             sample[color_key(f, 0, aug=True)] = np.stack(
-                [color_jitter(rng, resized[c], *jitter) for c in range(cams)])
+                [apply_color_jitter(resized[c], params) for c in range(cams)])
         else:
             sample[color_key(f, 0, aug=True)] = resized
     for s in range(1, n_scales):
@@ -156,7 +210,13 @@ def assemble_sample(
     sample["extrinsics_inv"] = np.linalg.inv(extrinsics).astype(np.float32)
     sample["mask"] = np.stack([resize_mask(mask[c], hw) for c in range(cams)])
     if depth is not None:
-        # GT depth resized nearest (sparse lidar maps must not be interpolated)
+        # Sparse-preserving resize to network resolution — the reference's
+        # protocol: its DGP/nuScenes pipeline resizes lidar GT with packnet's
+        # resize_depth_preserve (every return survives), then
+        # compute_depth_losses interpolates the prediction to the GT map and
+        # masks there (reference utils/logger.py:208-232). A plain nearest
+        # subsample would discard ~90% of returns and shift positions,
+        # making metrics non-comparable to the published table.
         sample["depth"] = np.stack(
-            [resize_mask(depth[c], hw) for c in range(cams)])
+            [resize_depth_preserve(depth[c], hw) for c in range(cams)])
     return sample
