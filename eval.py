@@ -39,6 +39,16 @@ def test(cfg, vis_results=False):
     batch = {k: jnp.asarray(v) for k, v in first.items()}
     state, _ = create_train_state(model, jax.random.PRNGKey(0), batch)
 
+    if not os.path.isdir(cfg.load_weights_dir):
+        # evaluating random weights silently produces garbage metrics
+        if not os.environ.get("VFDEPTH_EVAL_RANDOM_OK"):
+            raise FileNotFoundError(
+                f"checkpoint directory not found: {cfg.load_weights_dir!r} — "
+                "pass --weight_path or set load.weights in the config "
+                "(set VFDEPTH_EVAL_RANDOM_OK=1 to evaluate random init anyway)")
+        print(f"WARNING: no checkpoint at {cfg.load_weights_dir!r}; "
+              "evaluating RANDOM weights")
+
     trainer = Trainer(cfg, model, use_tb=False)
     trainer.evaluate(eval_loader, state, vis_results=vis_results,
                      load_weights=os.path.isdir(cfg.load_weights_dir))

@@ -234,3 +234,46 @@ def test_checkpoint_cross_topology_restore(tmp_path):
                          capture_output=True, text=True, timeout=300)
     assert out.returncode == 0, out.stderr[-2000:]
     assert "restored" in out.stdout
+
+
+@pytest.mark.slow
+def test_multihost_two_process_train_step():
+    """Two localhost processes (1 CPU device each) run one sharded train
+    step over a global 2-device mesh: jax.distributed init, loader shards
+    from process_index, and the global-batch loss must equal a single-
+    process batch-2 run (the psum-of-grads / global-BN semantics hold
+    across hosts exactly as across local devices)."""
+    import subprocess
+    import sys as _sys
+    import os as _os
+    import re
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    env = {k: v for k, v in _os.environ.items()
+           if k not in ("JAX_PLATFORMS",)}
+    env.pop("XLA_FLAGS", None)  # 1 device per process, no forced host count
+    script = _os.path.join(_os.path.dirname(__file__), "helpers_dist_train.py")
+    procs = [subprocess.Popen(
+        [_sys.executable, script, str(pid), str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+        for pid in range(2)]
+    outs = [p.communicate(timeout=1200)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"dist proc failed:\n{out[-3000:]}"
+    losses = [float(re.search(r"LOSS ([-\d.]+)", out).group(1)) for out in outs]
+    assert losses[0] == losses[1]
+
+    # single-process reference: global batch 2, same samples, same key
+    cfg = micro_config()
+    model = VFDepthModel(cfg)
+    batch = _batch(cfg, batch_size=2)
+    rng = jax.random.PRNGKey(0)
+    state, tx = create_train_state(model, rng, batch, steps_per_epoch=10)
+    step = build_train_step(model, tx, donate=False)
+    _, logs = step(state, batch, rng)
+    np.testing.assert_allclose(losses[0], float(logs["total_loss"]),
+                               rtol=2e-4)

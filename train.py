@@ -25,14 +25,28 @@ def parse_args():
 def train(cfg, max_steps=None):
     from vfdepth_tpu.data.factory import construct_dataset
     from vfdepth_tpu.data.loader import BatchLoader
+    from vfdepth_tpu.parallel.distributed import (
+        is_main_process, loader_shard, maybe_initialize_distributed,
+        per_process_seed)
     from vfdepth_tpu.training.model import VFDepthModel
     from vfdepth_tpu.training.trainer import Trainer
+
+    # multi-host: jax.distributed init + per-process loader shard — the
+    # reference's DDP rendezvous + DistributedSampler
+    # (utils/ddp.py:10-29, models/vfdepth.py:117-125)
+    maybe_initialize_distributed()
+    shard_index, num_shards = loader_shard()
 
     model = VFDepthModel(cfg)
 
     train_ds = construct_dataset(cfg, "train")
     train_loader = BatchLoader(train_ds, cfg.batch_size, shuffle=True,
-                               num_workers=cfg.get("num_workers", 2))
+                               num_workers=cfg.get("num_workers", 2),
+                               seed=per_process_seed(42),
+                               shard_index=shard_index, num_shards=num_shards)
+    # every process constructs the (identical, unsharded) val loader: the
+    # validation step is part of the SPMD program and must run on all hosts;
+    # only process 0 logs its results (trainer guards that).
     try:
         val_ds = construct_dataset(cfg, "val")
         val_loader = BatchLoader(val_ds, cfg.batch_size, shuffle=False,
@@ -40,7 +54,7 @@ def train(cfg, max_steps=None):
     except (FileNotFoundError, ValueError):
         val_loader = None
 
-    trainer = Trainer(cfg, model)
+    trainer = Trainer(cfg, model, use_tb=is_main_process())
     trainer.learn(train_loader, val_loader, max_steps=max_steps)
 
 

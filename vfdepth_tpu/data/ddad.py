@@ -168,7 +168,7 @@ class DDADDataset:
         self.depth_type = depth_type
         self.seed = seed
         self.cache_depth = cache_depth
-
+        self.epoch = 0
         with open(dataset_json, "r") as f:
             ds = json.load(f)
         splits = _g(ds, "scene_splits", default={})
@@ -203,6 +203,13 @@ class DDADDataset:
                     with open(p, "rb") as f:
                         self._mask_idx = {str(k): int(v)
                                           for k, v in pickle.load(f).items()}
+
+
+    def set_epoch(self, epoch: int) -> None:
+        """Fold the epoch into per-sample augmentation seeds (called by
+        BatchLoader.set_epoch each epoch, like the reference's
+        DistributedSampler.set_epoch)."""
+        self.epoch = int(epoch)
 
     def __len__(self) -> int:
         return len(self.index)
@@ -277,7 +284,10 @@ class DDADDataset:
         if self.with_depth and self.depth_type == "lidar":
             depth = self._depth_for(scene, scene_idx, t, calib)
 
-        rng = np.random.RandomState(self.seed * 99991 + idx)
+        # fold the epoch into the seed so augmentation differs per
+        # epoch (loader.set_epoch propagates here; ADVICE r1 #2)
+        rng = np.random.RandomState(
+            (self.seed * 99991 + self.epoch * 7919 + idx) % (2 ** 31))
         return assemble_sample(
             rng, images, k_full, extrinsics, mask,
             (self.height, self.width), self.fusion_level,

@@ -45,6 +45,10 @@ class BatchLoader:
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
+        # propagate to the dataset so per-sample augmentation seeds change
+        # across epochs (otherwise every epoch replays identical jitter)
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
 
     @property
     def steps_per_epoch(self) -> int:
@@ -101,7 +105,13 @@ class BatchLoader:
                     if i >= len(batches):
                         break
                     pos["i"] = i + 1
-                data = self._collate(batches[i])
+                # store exceptions as the slot value and re-raise in the
+                # consumer — a swallowed worker death would leave the
+                # consumer waiting forever on a batch that never arrives
+                try:
+                    data = self._collate(batches[i])
+                except BaseException as e:  # noqa: BLE001
+                    data = e
                 with cond:
                     out[i] = data
                     cond.notify_all()
@@ -114,7 +124,11 @@ class BatchLoader:
             with cond:
                 while i not in out:
                     cond.wait(timeout=60.0)
-                yield out.pop(i)
+                data = out.pop(i)
+            if isinstance(data, BaseException):
+                raise RuntimeError(
+                    f"BatchLoader worker failed on batch {i}") from data
+            yield data
         for t in threads:
             t.join()
 

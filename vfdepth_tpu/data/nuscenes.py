@@ -68,7 +68,7 @@ class NuScenesDataset:
         self.mask_dir = mask_dir
         self.seed = seed
         self.cache_depth = cache_depth
-
+        self.epoch = 0
         sensors = {s["token"]: s for s in _load_table(self.root, version, "sensor")}
         self.calibrated = {c["token"]: c for c in
                            _load_table(self.root, version, "calibrated_sensor")}
@@ -119,6 +119,13 @@ class NuScenesDataset:
             self.index.append(tok)
 
         self._masks: Optional[np.ndarray] = None
+
+
+    def set_epoch(self, epoch: int) -> None:
+        """Fold the epoch into per-sample augmentation seeds (called by
+        BatchLoader.set_epoch each epoch, like the reference's
+        DistributedSampler.set_epoch)."""
+        self.epoch = int(epoch)
 
     def __len__(self) -> int:
         return len(self.index)
@@ -221,7 +228,10 @@ class NuScenesDataset:
 
         depth = self._depth_for(token) if self.with_depth else None
 
-        rng = np.random.RandomState(self.seed * 99991 + idx)
+        # fold the epoch into the seed so augmentation differs per
+        # epoch (loader.set_epoch propagates here; ADVICE r1 #2)
+        rng = np.random.RandomState(
+            (self.seed * 99991 + self.epoch * 7919 + idx) % (2 ** 31))
         return assemble_sample(
             rng, images, k_full, extrinsics, mask,
             (self.height, self.width), self.fusion_level,

@@ -62,11 +62,21 @@ def load_resnet_encoder_params(
     the inputs unchanged otherwise.
     """
     weights_path = weights_path or os.environ.get("VFDEPTH_RESNET_WEIGHTS", "")
+    if not weights_path:
+        # default repo-local location written by scripts/fetch_imagenet_weights.py
+        default = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))),
+            "assets", "weights", f"resnet{num_layers}_imagenet.npz")
+        if os.path.isfile(default):
+            weights_path = default
     if not weights_path or not os.path.isfile(weights_path):
         warnings.warn(
-            "weights_init requested but no pretrained ResNet weights found "
-            "(set VFDEPTH_RESNET_WEIGHTS to a torchvision state-dict .pth or "
-            ".npz); using random initialization")
+            "weights_init requested but no pretrained ResNet weights found. "
+            "Run `python scripts/fetch_imagenet_weights.py` on a machine "
+            "with network access (writes assets/weights/resnet*_imagenet.npz)"
+            " or set VFDEPTH_RESNET_WEIGHTS to a torchvision state-dict .pth "
+            "or .npz; using random initialization")
         return params, batch_stats
 
     sd = _load_state_dict(weights_path)

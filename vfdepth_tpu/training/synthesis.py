@@ -20,11 +20,15 @@ from ..utils.visualize import aug_depth_params
 
 
 def synthesize_sweep(model, params, stats, batch, n_steps: int = 75,
-                     max_views: int | None = None) -> List[np.ndarray]:
+                     max_views: int | None = None,
+                     chunk: int = 16) -> List[np.ndarray]:
     """Returns a list of [b, H', W', 1] disparities, one per sweep view.
 
     ``max_views`` caps the sweep (testing / quick previews); None renders
-    the full ~788-view scripted trajectory."""
+    the full ~788-view scripted trajectory. Views are decoded in vmapped
+    chunks of ``chunk`` — one device dispatch per chunk instead of one per
+    view (the reference's per-view Python loop round-trips host<->device
+    ~788 times, volumetric_fusionnet.py:320-335)."""
     net = model.depth_net
     assert isinstance(net, FusedDepthNet), "sweep requires the fusion depth net"
     variables = {"params": params["depth_net"],
@@ -34,19 +38,30 @@ def synthesize_sweep(model, params, stats, batch, n_steps: int = 75,
 
     fuse = jax.jit(lambda v, img, m, kk, ei: net.apply(
         v, img, m, kk, ei, method=FusedDepthNet.fuse_voxel))
-    decode = jax.jit(lambda v, vf, ik, rot, ext: net.apply(
-        v, vf, ik, rot, ext, method=FusedDepthNet.decode_view))
+    decode_chunk = jax.jit(lambda v, vf, iks, rots, ext: jax.vmap(
+        lambda ik, rot: net.apply(v, vf, ik, rot, ext,
+                                  method=FusedDepthNet.decode_view)
+    )(iks, rots))
 
     voxel_feat = fuse(variables, batch["color_aug/0/0"], batch["mask"],
                       batch[f"K/{lev + 1}"], batch["extrinsics_inv"])
 
-    disps = []
     params_list = aug_depth_params(k, n_steps)
     if max_views is not None:
         params_list = params_list[:max_views]
-    for inv_k_aug, ax, ay, az in params_list:
-        rot = jnp.asarray([ax, ay, az], dtype=jnp.float32)
-        disp = decode(variables, voxel_feat, jnp.asarray(inv_k_aug, jnp.float32),
-                      rot, batch["extrinsics"])
-        disps.append(np.asarray(disp))
+
+    iks = np.stack([np.asarray(p[0], np.float32) for p in params_list])
+    rots = np.asarray([[p[1], p[2], p[3]] for p in params_list], np.float32)
+    n = len(params_list)
+
+    disps: List[np.ndarray] = []
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        pad = chunk - (e - s)  # pad the tail chunk to a single compiled shape
+        ik_c = np.concatenate([iks[s:e], np.repeat(iks[e - 1:e], pad, 0)])
+        rot_c = np.concatenate([rots[s:e], np.repeat(rots[e - 1:e], pad, 0)])
+        out = decode_chunk(variables, voxel_feat, jnp.asarray(ik_c),
+                           jnp.asarray(rot_c), batch["extrinsics"])
+        out = np.asarray(out)
+        disps.extend(out[i] for i in range(e - s))
     return disps

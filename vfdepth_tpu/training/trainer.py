@@ -30,10 +30,15 @@ from ..utils.metrics import METRIC_NAMES, compute_depth_metrics
 
 class Trainer:
     def __init__(self, cfg, model: VFDepthModel, use_tb: bool = True):
+        from ..parallel.distributed import is_main_process
         self.cfg = cfg
         self.model = model
         self.num_epochs = cfg.num_epochs
-        self.logger = Logger(cfg, use_tb)
+        # process-0-only logging/checkpointing (reference rank-0 discipline);
+        # compute paths below still run on every process — SPMD programs
+        # must execute identically across hosts
+        self.is_main = is_main_process()
+        self.logger = Logger(cfg, use_tb and self.is_main)
         self.depth_metric_names = METRIC_NAMES
         self._shard_fn = None  # set by _build_step when a mesh is active
 
@@ -67,6 +72,10 @@ class Trainer:
         train_step = self._build_step(tx, first)
         eval_step = (build_eval_step(self.model, return_renders=True)
                      if val_loader is not None else None)
+        # train-batch image panels at log checkpoints (reference logs the
+        # full panel set from the *training* batch, utils/logger.py:138-170).
+        # One extra forward per checkpoint; eval-mode BN (running stats).
+        panel_step = build_eval_step(self.model, return_renders=True)
         val_iter = iter(val_loader) if val_loader is not None else None
 
         from ..data.loader import device_prefetch
@@ -87,10 +96,17 @@ class Trainer:
 
                 if self.logger.is_checkpoint(step):
                     logs = {k: float(v) for k, v in logs.items()}
-                    self.logger.log_time(epoch, batch_idx, time.time() - before,
-                                         logs.get("total_loss", float("nan")),
-                                         start_time)
-                    self.logger.log_scalars("train", logs, step)
+                    if self.is_main:
+                        self.logger.log_time(
+                            epoch, batch_idx, time.time() - before,
+                            logs.get("total_loss", float("nan")), start_time)
+                        self.logger.log_scalars("train", logs, step)
+                    if self.logger.writers.get("train") is not None:
+                        p_out, _ = panel_step(state, batch, rng)
+                        self.logger.log_images(
+                            "train", jax.tree_util.tree_map(np.asarray, batch),
+                            {k: np.asarray(v) for k, v in p_out.items()
+                             if hasattr(v, "shape")}, step)
                     if val_iter is not None:
                         val_iter = self._validate(eval_step, state, val_loader,
                                                   val_iter, rng, step)
@@ -98,7 +114,12 @@ class Trainer:
                 if max_steps is not None and step >= max_steps:
                     break
 
-            save_checkpoint(self.cfg.save_weights_root, epoch, state)
+            # reference saves on rank 0 every `save_frequency` epochs
+            # (configs use 1; trainer/vfdepth_trainer.py:46-47)
+            save_freq = max(int(self.cfg.get("save_frequency", 1) or 1), 1)
+            if self.is_main and ((epoch + 1) % save_freq == 0
+                                 or epoch == self.num_epochs - 1):
+                save_checkpoint(self.cfg.save_weights_root, epoch, state)
             print("-" * 110)
             if max_steps is not None and step >= max_steps:
                 break
@@ -149,6 +170,8 @@ class Trainer:
             batch = next(val_iter)
         jbatch = jax.tree_util.tree_map(jnp.asarray, batch)
         outputs, logs = eval_step(state, jbatch, rng)
+        if not self.is_main:
+            return val_iter
         logs = {k: float(v) for k, v in logs.items()}
         if "depth" in batch:
             metric, median, med_scale = compute_depth_metrics(

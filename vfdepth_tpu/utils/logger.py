@@ -137,6 +137,10 @@ class Logger:
             import PIL.Image as pil
         except ImportError:  # pragma: no cover
             return
+        # eval.py --vis_results can arrive with eval_visualize false in the
+        # YAML; create the output dirs lazily instead of failing mid-eval
+        if not hasattr(self, "cam_paths"):
+            self._init_vis(self.cfg)
         disp = np.asarray(outputs["disp/0"])
         for cam in range(self.num_cams):
             for j in range(disp.shape[0]):
