@@ -6,10 +6,12 @@ fusion, view rendering, losses, backward, Adam) on DDAD-shaped inputs
 prints ONE JSON line.
 
 Baseline note: the reference publishes no throughput numbers. The
-``vs_baseline`` ratio uses an estimated 1.0 steps/s per A100 for the
-reference's torch DDP pipeline at per-GPU batch 2 (eager torch, ~50
-grid_samples + 2 ResNet18 passes per step); the north-star target from
-BASELINE.json is >= 2.0 on this metric.
+``vs_baseline`` denominator (2.0 samples/s per A100) is derived in
+BASELINE.md ("Throughput denominator: derivation") from a FLOPs accounting
+of the reference step (~2.1 TFLOP/sample, fp32 — the reference disables
+TF32) and from scaling published Monodepth2 timings; both estimates bracket
+2-3.5 samples/s and we adopt the conservative end. vs_baseline 1.0 = parity
+with one A100 per chip; the BASELINE.json north star (2x) = vs_baseline 2.0.
 """
 import json
 import os
@@ -20,9 +22,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-# Estimated reference throughput: torch DDP on A100 at per-GPU batch 2
-# (configs/ddad/ddad_surround_fusion_ddp.yaml) ~= 1.0 steps/s -> 2.0
-# 6-camera samples/s per GPU. The reference publishes no throughput numbers.
+# Estimated reference throughput: 2.0 6-camera samples/s per A100 at fp32
+# (derivation in BASELINE.md). The reference publishes no throughput numbers.
 BASELINE_SAMPLES_PER_SEC = 2.0
 
 
@@ -66,7 +67,11 @@ def run_bench(batch_size, height, width, n_steps, use_bf16):
                 # "0"/"1"/"all"/"depth_net"/"pose_net"
                 "remat": {"0": False, "1": True}.get(
                     os.environ.get("BENCH_REMAT", "0"),
-                    os.environ.get("BENCH_REMAT"))},
+                    os.environ.get("BENCH_REMAT")),
+                # ablation knobs (BENCH_* envs; defaults = production config)
+                "warp_window": os.environ.get("BENCH_WARP_WINDOW", "1") == "1",
+                "sampler_3d": os.environ.get("BENCH_SAMPLER_3D", "packed"),
+                "batch_pose_frames": os.environ.get("BENCH_POSE_BATCH", "1") == "1"},
     })
 
     model = VFDepthModel(cfg)

@@ -87,9 +87,15 @@ def main():
         if (i + 1) % 100 == 0:
             jax.block_until_ready(logs["total_loss"])
             m = evaluate(state)
+            tmag = (float(logs["pose/tx"]) + float(logs["pose/ty"])
+                    + float(logs["pose/tz"]))
+            amask = float(jnp.mean(logs["reproj_mask"])) \
+                if "reproj_mask" in logs else float("nan")
             print(f"step {i+1}: loss={float(logs['total_loss']):.4f} "
                   f"abs_rel={m['abs_rel']:.3f} rmse={m['rms']:.2f} "
-                  f"a1={m['a1']:.3f} ({(time.time()-t0)/(i+1)*1000:.0f} ms/step)",
+                  f"a1={m['a1']:.3f} |t|={tmag:.3f} amask={amask:.2f} "
+                  f"depth_mean={float(logs['depth/mean']):.1f} "
+                  f"({(time.time()-t0)/(i+1)*1000:.0f} ms/step)",
                   flush=True)
     print("PROBE DONE", flush=True)
 

@@ -58,6 +58,7 @@ def main():
 
     events = data.get("traceEvents", data if isinstance(data, list) else [])
     durs = defaultdict(float)
+    full = defaultdict(float)
     total = 0.0
     for e in events:
         if e.get("ph") != "X":
@@ -66,11 +67,18 @@ def main():
         dur = e.get("dur", 0) / 1e3  # us -> ms
         # keep device op events (heuristic: XLA op names)
         durs[name.split(".")[0][:60]] += dur
+        # un-merged individual op instances, with any long_name metadata
+        args = e.get("args") or {}
+        ln = args.get("long_name") or args.get("hlo_op") or ""
+        full[(name[:80], str(ln)[:140])] += dur
         total += dur
     top = sorted(durs.items(), key=lambda kv: -kv[1])[:40]
     print(f"total traced op time {total:.0f} ms (3 steps)", flush=True)
     for name, ms in top:
         print(f"{ms:9.1f} ms  {name}", flush=True)
+    print("\n--- top individual ops ---", flush=True)
+    for (name, ln), ms in sorted(full.items(), key=lambda kv: -kv[1])[:60]:
+        print(f"{ms:9.1f} ms  {name}  | {ln}", flush=True)
 
 
 if __name__ == "__main__":

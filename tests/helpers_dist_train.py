@@ -38,7 +38,7 @@ from vfdepth_tpu.training.model import VFDepthModel  # noqa: E402
 from vfdepth_tpu.training.step import (  # noqa: E402
     create_train_state, shard_train_step)
 
-cfg = micro_config()
+cfg = micro_config(depth_model="fsm", pose_model="fsm")
 model = VFDepthModel(cfg)
 ds = FakeDataset(num_samples=2, num_cams=cfg.num_cams, height=cfg.height,
                  width=cfg.width, fusion_level=cfg.fusion_level)

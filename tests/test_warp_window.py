@@ -74,17 +74,24 @@ def _render(s, windows):
         min_depth=MIN_D, max_depth=MAX_D, windows=windows)
 
 
-def _windows(s, box_hw=None):
-    if box_hw is None:
-        b = s["batch"]
-        box_hw = estimate_window_hw(
-            b["K/0"][0], b["inv_K/0"][0], b["extrinsics"][0],
-            np.maximum(s["rel"], 0), s["rel"] >= 0, H, W,
-            MIN_D, MAX_D, FSCALE)
+def _estimate(s, with_motion):
+    b = s["batch"]
+    return estimate_window_hw(
+        b["K/0"][0], b["inv_K/0"][0], b["extrinsics"][0],
+        np.maximum(s["rel"], 0), s["rel"] >= 0, H, W,
+        MIN_D, MAX_D, FSCALE, with_motion=with_motion)
+
+
+def _windows(s, spatio_hw="auto", st_hw="auto"):
+    if spatio_hw == "auto":
+        spatio_hw = _estimate(s, with_motion=False)
+    if st_hw == "auto":
+        st_hw = _estimate(s, with_motion=True)
     rel = jnp.asarray(s["rel"])
     return compute_windows(
         s["inv_k"], s["k"], s["spatio_pose"], s["st_pose"],
-        jnp.maximum(rel, 0), rel >= 0, H, W, box_hw, MIN_D, MAX_D, FSCALE)
+        jnp.maximum(rel, 0), rel >= 0, H, W, spatio_hw, st_hw,
+        MIN_D, MAX_D, FSCALE)
 
 
 def test_windowed_equals_dense():
@@ -119,7 +126,35 @@ def test_windowed_depth_gradient_equals_dense():
                                atol=1e-3, rtol=1e-4)
 
 
+def test_spatio_only_windows_st_dense():
+    """st_hw=None -> spatio warps windowed, spatio-temporal warped densely;
+    output must still equal the fully dense render (per-kind fallback)."""
+    s = _setup(seed=2)
+    win = _windows(s, st_hw=None)
+    assert win.st_origin is None and win.st_hw is None
+    assert win.spatio_origin is not None
+    assert float(win.overflow) == 0.0
+    dense = _render(s, None)
+    boxed = _render(s, win)
+    np.testing.assert_allclose(np.asarray(boxed.overlap_img),
+                               np.asarray(dense.overlap_img), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(boxed.overlap_mask),
+                               np.asarray(dense.overlap_mask), atol=1e-6)
+
+
+def test_spatio_windows_tighter_than_motion_bound():
+    """The rig-only (with_motion=False) sizing must never exceed the
+    motion-bounded sizing it is a special case of."""
+    s = _setup()
+    sp = _estimate(s, with_motion=False)
+    st = _estimate(s, with_motion=True)
+    for slot in range(2):
+        assert sp[slot][0] <= st[slot][0]
+        assert sp[slot][1] <= st[slot][1]
+
+
 def test_undersized_window_sets_overflow():
     s = _setup()
-    win = _windows(s, box_hw=((8, 64), (8, 64)))
+    tiny = ((8, 64), (8, 64))
+    win = _windows(s, spatio_hw=tiny, st_hw=tiny)
     assert float(win.overflow) > 0.0

@@ -240,7 +240,17 @@ class DDADDataset:
                    calib: dict) -> Optional[np.ndarray]:
         lidar = scene.lidar_name(t)
         if lidar is None:
-            return None
+            # keep the batch contract consistent across samples: a frame
+            # without a lidar sweep yields an all-zero (= no returns) map
+            # at each camera's native resolution
+            import PIL.Image as pil
+            depths = []
+            for cam in self.cameras:
+                _, img_path = scene.datum_filename(scene.samples[t][cam])
+                with pil.open(img_path) as im:
+                    w0, h0 = im.size
+                depths.append(np.zeros((h0, w0), np.float32))
+            return np.stack(depths)
         kind, pc_path = scene.datum_filename(scene.samples[t][lidar])
         assert kind == "point_cloud"
         lidar_k, lidar_ext = None, calib[lidar][1]

@@ -287,7 +287,7 @@ def render_views(
         nbr_mask = mask[:, rel_idx]
         nbr_k = k[:, rel_idx]
 
-        def overlap_for(src_frame_colors, pose, origin=None):
+        def overlap_for(src_frame_colors, pose, origin=None, box_hw=None):
             """pose: [b, cams, n_nbr, 4, 4]; returns summed img/mask."""
             src = src_frame_colors[:, rel_idx]  # [b, cams, n_nbr, H, W, 3]
             depn = jnp.broadcast_to(depth[:, :, None], depth.shape[:2] + (n_nbr,) + depth.shape[2:])
@@ -296,7 +296,7 @@ def render_views(
             if origin is not None:
                 w_img, w_mask = warp_image_window(
                     src, nbr_mask, depn, invkn, nbr_k, pose,
-                    origin, windows.box_hw)
+                    origin, box_hw)
             else:
                 w_img, w_mask = warp_image(src, nbr_mask, depn, invkn,
                                            nbr_k, pose)
@@ -310,15 +310,19 @@ def render_views(
                     jnp.sum(w_mask, axis=2))
 
         imgs, masks = [], []
+        has_sp_win = windows is not None and windows.spatio_origin is not None
+        has_st_win = windows is not None and windows.st_origin is not None
         o_img, o_mask = overlap_for(
             colors[0], spatio_pose,
-            windows.spatio_origin if windows is not None else None)
+            windows.spatio_origin if has_sp_win else None,
+            windows.spatio_hw if has_sp_win else None)
         imgs.append(o_img)
         masks.append(o_mask)
         for fi, f in enumerate(ctx_ids):
             o_img, o_mask = overlap_for(
                 colors[f], spatio_tempo_pose[:, :, fi],
-                windows.st_origin[:, :, fi] if windows is not None else None)
+                windows.st_origin[:, :, fi] if has_st_win else None,
+                windows.st_hw if has_st_win else None)
             imgs.append(o_img)
             masks.append(o_mask)
         overlap_img = jnp.stack(imgs, axis=2)    # [b, cams, 1+n_ctx, H, W, 3]

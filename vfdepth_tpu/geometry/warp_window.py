@@ -53,14 +53,21 @@ class WarpWindows(NamedTuple):
     The two sets are usually disjoint column bands; separate rectangles
     bound them far tighter than one.
 
-    spatio_origin: [b, cams, n_nbr, 2, 2]        (slot, (y0, x0)) int32
-    st_origin:     [b, cams, n_ctx, n_nbr, 2, 2]
-    box_hw:        static ((H0, W0), (H1, W1)) per slot
+    The spatio windows depend only on the rig extrinsics (no egomotion), so
+    their static sizes are exact for the rig; the spatio-temporal windows
+    compose the predicted egomotion, so their sizes carry a motion bound
+    (overflow-flagged at runtime). Either kind can be None = warp densely
+    (used when its windows wouldn't shrink below ~full image).
+
+    spatio_origin: [b, cams, n_nbr, 2, 2]        (slot, (y0, x0)) int32, or None
+    st_origin:     [b, cams, n_ctx, n_nbr, 2, 2] or None
+    spatio_hw/st_hw: static ((H0, W0), (H1, W1)) per slot, or None
     overflow:      [] float32 — max pixels any span exceeded its box (0 = ok)
     """
-    spatio_origin: jnp.ndarray
-    st_origin: jnp.ndarray
-    box_hw: Tuple[Tuple[int, int], Tuple[int, int]]
+    spatio_origin: Optional[jnp.ndarray]
+    st_origin: Optional[jnp.ndarray]
+    spatio_hw: Optional[Tuple[Tuple[int, int], Tuple[int, int]]]
+    st_hw: Optional[Tuple[Tuple[int, int], Tuple[int, int]]]
     overflow: jnp.ndarray
 
 
@@ -126,7 +133,8 @@ def compute_windows(
     nbr_valid: jnp.ndarray,      # [cams, n_nbr] bool
     height: int,
     width: int,
-    box_hw: Tuple[Tuple[int, int], Tuple[int, int]],
+    spatio_hw: Optional[Tuple[Tuple[int, int], Tuple[int, int]]],
+    st_hw: Optional[Tuple[Tuple[int, int], Tuple[int, int]]],
     min_depth: float,
     max_depth: float,
     focal_length_scale: float,
@@ -147,7 +155,7 @@ def compute_windows(
 
     src_k = k[:, rel_idx].astype(geo)           # [b, cams, n_nbr, 4, 4]
 
-    def windows_for(pose):  # pose [b, cams, n_nbr, 4, 4]
+    def windows_for(pose, box_hw):  # pose [b, cams, n_nbr, 4, 4]
         near, pole = _include_masks(
             rays[:, :, None], pose.astype(geo), src_k,
             d_lo[:, :, None], d_hi[:, :, None], height, width)
@@ -161,21 +169,29 @@ def compute_windows(
             spans.append((sh - box_hw[slot][0], sw - box_hw[slot][1]))
         return jnp.stack(origins, axis=-2), spans  # [..., 2(slot), 2]
 
-    sp_origin, sp_spans = windows_for(spatio_pose)
-    all_spans = list(sp_spans)
-    st_origins = []
-    for f in range(n_ctx):
-        o, spans = windows_for(st_pose[:, :, f])
-        st_origins.append(o)
-        all_spans.extend(spans)
-    st_origin = jnp.stack(st_origins, axis=2)
+    all_spans = []
+    sp_origin = None
+    if spatio_hw is not None:
+        sp_origin, sp_spans = windows_for(spatio_pose, spatio_hw)
+        all_spans.extend(sp_spans)
+    st_origin = None
+    if st_hw is not None:
+        st_origins = []
+        for f in range(n_ctx):
+            o, spans = windows_for(st_pose[:, :, f], st_hw)
+            st_origins.append(o)
+            all_spans.extend(spans)
+        st_origin = jnp.stack(st_origins, axis=2)
 
-    overflow = jnp.maximum(
-        jnp.max(jnp.stack([jnp.max(sh) for sh, _ in all_spans])),
-        jnp.max(jnp.stack([jnp.max(sw) for _, sw in all_spans])),
-    ).astype(jnp.float32)
-    overflow = jnp.maximum(overflow, 0.0)
-    return WarpWindows(sp_origin, st_origin, box_hw, overflow)
+    if all_spans:
+        overflow = jnp.maximum(
+            jnp.max(jnp.stack([jnp.max(sh) for sh, _ in all_spans])),
+            jnp.max(jnp.stack([jnp.max(sw) for _, sw in all_spans])),
+        ).astype(jnp.float32)
+        overflow = jnp.maximum(overflow, 0.0)
+    else:
+        overflow = jnp.zeros((), jnp.float32)
+    return WarpWindows(sp_origin, st_origin, spatio_hw, st_hw, overflow)
 
 
 # ---------------------------------------------------------------------------
@@ -200,11 +216,18 @@ def estimate_window_hw(
     max_trans: float = 4.0,      # reference clamps translation to +-4 m
     max_rot: float = 0.45,       # rad; generous bound on frame-to-frame ego rot
     margin: int = 32,
+    with_motion: bool = True,
 ) -> Tuple[Tuple[int, int], Tuple[int, int]]:
     """Static window size for a rig: max span over camera pairs and a
     worst-case egomotion set, padded and rounded. Runs in numpy at setup on a
     stride-4 pixel subgrid (the margin absorbs the stride error; the runtime
     overflow flag catches any residual undersizing).
+
+    ``with_motion=False`` sizes for the *spatio* warps: the target->source
+    pose is the fixed rig relative extrinsics (no egomotion composed), so
+    the bound is exact for the rig and typically far tighter. Use
+    ``with_motion=True`` for the spatio-temporal warps, which compose the
+    predicted ``cam_T_cam`` (bounded by max_trans/max_rot).
 
     Returns (box_h, box_w), each capped at the full image size (a full-size
     window degrades gracefully to the dense warp).
@@ -228,14 +251,15 @@ def estimate_window_hw(
     # worst-case per-camera motions T (cam_T_cam): conjugated canonical
     # motions with extreme rotation/translation, plus identity
     motions = [np.eye(4)]
-    for rv in itertools.product((-max_rot, 0.0, max_rot), repeat=3):
-        for tv in ((0.0, 0.0, 0.0), (max_trans, 0, 0), (-max_trans, 0, 0),
-                   (0, max_trans, 0), (0, -max_trans, 0),
-                   (0, 0, max_trans), (0, 0, -max_trans)):
-            m = np.eye(4)
-            m[:3, :3] = axis_angle_mat(rv)
-            m[:3, 3] = tv
-            motions.append(m)
+    if with_motion:
+        for rv in itertools.product((-max_rot, 0.0, max_rot), repeat=3):
+            for tv in ((0.0, 0.0, 0.0), (max_trans, 0, 0), (-max_trans, 0, 0),
+                       (0, max_trans, 0), (0, -max_trans, 0),
+                       (0, 0, max_trans), (0, 0, -max_trans)):
+                m = np.eye(4)
+                m[:3, :3] = axis_angle_mat(rv)
+                m[:3, 3] = tv
+                motions.append(m)
 
     best = [[1, 1], [1, 1]]  # per slot (near, pole): [h, w]
     for cam in range(k.shape[0]):

@@ -97,7 +97,11 @@ class VFDepthModel:
         hw = cfg.get("warp_window_hw", None)  # [h, w] or [[h0,w0],[h1,w1]]
         if hw and not isinstance(hw[0], (list, tuple)):
             hw = (tuple(hw), tuple(hw))
-        self.warp_window_hw = (tuple(map(tuple, hw)) if hw else None)
+        hw = tuple(map(tuple, hw)) if hw else None
+        # (spatio_hw, st_hw): per-warp-kind static slot sizes, each
+        # ((H0,W0),(H1,W1)) or None = warp that kind densely. An explicit
+        # override applies the same sizes to both kinds.
+        self.warp_window_hw = (hw, hw) if hw else None
         # Rematerialize network applies in the backward pass (jax.checkpoint):
         # trades an extra network forward for dropping the encoder/decoder
         # activations from HBM, which is what gates batch>=2 on a single chip
@@ -167,16 +171,24 @@ class VFDepthModel:
         k0 = np.asarray(batch["K/0"])[0]
         ik0 = np.asarray(batch["inv_K/0"])[0]
         ext = np.asarray(batch["extrinsics"])[0]
-        hw = estimate_window_hw(
-            k0, ik0, ext, np.maximum(rel, 0), rel >= 0,
-            self.height, self.width, self.min_depth, self.max_depth,
-            self.focal_length_scale)
-        # near-full windows would only add slicing overhead
-        area = sum(h * w for h, w in hw)
-        if area >= 0.9 * self.height * self.width:
+
+        def sized(with_motion):
+            hw = estimate_window_hw(
+                k0, ik0, ext, np.maximum(rel, 0), rel >= 0,
+                self.height, self.width, self.min_depth, self.max_depth,
+                self.focal_length_scale, with_motion=with_motion)
+            # near-full windows would only add slicing overhead -> dense
+            area = sum(h * w for h, w in hw)
+            return None if area >= 0.9 * self.height * self.width else hw
+
+        # spatio windows depend only on the rig extrinsics (exact); the
+        # spatio-temporal ones compose the predicted egomotion (bounded)
+        spatio_hw = sized(False) if self.loss_cfg.spatio else None
+        st_hw = sized(True) if self.loss_cfg.spatio_temporal else None
+        if spatio_hw is None and st_hw is None:
             self.warp_window = False
             return
-        self.warp_window_hw = hw
+        self.warp_window_hw = (spatio_hw, st_hw)
 
     def _windows(self, batch, spatio_pose, st_pose):
         if not self.warp_window or self.warp_window_hw is None:
@@ -185,10 +197,14 @@ class VFDepthModel:
             return None
         from ..geometry.warp_window import compute_windows
         rel = jnp.asarray(self.rel_cam)
+        spatio_hw, st_hw = self.warp_window_hw
+        # origins are integers — no gradient can flow; stop_gradient keeps
+        # the bbox computation out of the autodiff graph entirely
         return compute_windows(
-            batch["inv_K/0"], batch["K/0"], spatio_pose, st_pose,
+            batch["inv_K/0"], batch["K/0"],
+            jax.lax.stop_gradient(spatio_pose), jax.lax.stop_gradient(st_pose),
             jnp.maximum(rel, 0), rel >= 0, self.height, self.width,
-            self.warp_window_hw, self.min_depth, self.max_depth,
+            spatio_hw, st_hw, self.min_depth, self.max_depth,
             self.focal_length_scale)
 
     # ------------------------------------------------------------------
