@@ -1,0 +1,130 @@
+"""MXU warp kernel == gather warp (ops/warp_quad) — values and gradients.
+
+The kernel's only quantization vs the f32 gather path is bf16 rounding of
+the source values, so on bf16-representable inputs the two paths must agree
+to f32 accumulation noise. Runs the Pallas interpreter on CPU.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vfdepth_tpu.ops.warp_quad import warp_image_mask_quad
+from vfdepth_tpu.ops.warp_mxu import warp_image_mask_mxu
+
+H, W = 64, 96  # W deliberately not a multiple of 128 (pad path)
+
+
+def _setup(seed, b=2, n=None, coord_span=1.4):
+    """bf16-representable image + mask + coords (in [-span, span], so both
+    fully-inside and out-of-bounds taps occur)."""
+    rng = np.random.RandomState(seed)
+    n = H * W if n is None else n
+    img = rng.rand(b, H, W, 3).astype(np.float32)
+    img = np.asarray(jnp.asarray(img).astype(jnp.bfloat16).astype(jnp.float32))
+    mask = (rng.rand(b, H, W, 1) > 0.3).astype(np.float32)
+    coords = rng.uniform(-coord_span, coord_span, (b, n, 2)).astype(np.float32)
+    # exercise NaN handling and exact-border coords
+    coords[:, :7, 0] = np.nan
+    coords[:, 7:9, :] = 1.0
+    coords[:, 9:11, :] = -1.0
+    return jnp.asarray(img), jnp.asarray(mask), jnp.asarray(coords)
+
+
+def test_mxu_matches_quad_values():
+    img, mask, coords = _setup(0)
+    iq, mq = warp_image_mask_quad(img, mask, coords)
+    im, mm = warp_image_mask_mxu(img, mask, coords)
+    np.testing.assert_allclose(np.asarray(im), np.asarray(iq),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(mm), np.asarray(mq), atol=1e-6)
+
+
+def test_mxu_matches_quad_values_nonmultiple_n():
+    """N not a multiple of the strip size exercises the pad/slice path."""
+    img, mask, coords = _setup(3, b=1, n=1000)
+    iq, mq = warp_image_mask_quad(img, mask, coords)
+    im, mm = warp_image_mask_mxu(img, mask, coords)
+    np.testing.assert_allclose(np.asarray(im), np.asarray(iq),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(mm), np.asarray(mq), atol=1e-6)
+
+
+def test_mxu_coordinate_gradients_match_quad():
+    img, mask, coords = _setup(1, b=1)
+
+    def loss_quad(c):
+        iw, mw = warp_image_mask_quad(img, mask, c)
+        return jnp.sum(iw ** 2) + jnp.sum(mw * 0.25)
+
+    def loss_mxu(c):
+        iw, mw = warp_image_mask_mxu(img, mask, c)
+        return jnp.sum(iw ** 2) + jnp.sum(mw * 0.25)
+
+    gq = jax.grad(loss_quad)(coords)
+    gm = jax.grad(loss_mxu)(coords)
+    np.testing.assert_allclose(np.asarray(gm), np.asarray(gq),
+                               atol=1e-3, rtol=2e-3)
+
+
+def test_mxu_wide_y_span():
+    """Coords spanning the whole image vertically within one strip force
+    many band segments; results must still be exact."""
+    rng = np.random.RandomState(7)
+    img, mask, _ = _setup(2, b=1)
+    n = 2048
+    coords = np.stack([rng.uniform(-1, 1, (1, n)),
+                       np.linspace(-1.05, 1.05, n)[None, :]], axis=-1)
+    coords = jnp.asarray(coords.astype(np.float32))
+    iq, mq = warp_image_mask_quad(img, mask, coords)
+    im, mm = warp_image_mask_mxu(img, mask, coords)
+    np.testing.assert_allclose(np.asarray(im), np.asarray(iq),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(mm), np.asarray(mq), atol=1e-6)
+
+
+def test_render_views_mxu_equals_quad():
+    """Full render_views with warp_op='mxu' == 'quad' on a 3-cam rig
+    (temporal + spatio + spatio-temporal warps through the kernel)."""
+    import pytest
+    from tests.test_warp_window import _setup as _scene_setup, _render
+
+    s = _scene_setup(seed=3)
+
+    dense = _render(s, None)
+    import vfdepth_tpu.geometry.view_rendering as vr
+    mxu = vr.render_views(
+        s["colors"], s["mask"], s["k"], s["inv_k"], s["depth"],
+        s["cam_t_cam"], s["spatio_pose"], s["st_pose"],
+        jnp.asarray(s["rel"]), (0, -1, 1), do_intensity_align=True,
+        spatio=True, spatio_temporal=True,
+        min_depth=1.5, max_depth=200.0, windows=None, warp_op="mxu")
+    np.testing.assert_allclose(np.asarray(mxu.temporal_img),
+                               np.asarray(dense.temporal_img),
+                               atol=5e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(mxu.temporal_mask),
+                               np.asarray(dense.temporal_mask), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(mxu.overlap_img),
+                               np.asarray(dense.overlap_img),
+                               atol=5e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(mxu.overlap_mask),
+                               np.asarray(dense.overlap_mask), atol=1e-6)
+
+
+def test_ceil_tap_on_band_boundary():
+    """Regression: a strip whose topmost (ceil) tap lands exactly on a
+    y-band start (y_lo=-1 via a NaN pixel, max y tap = 31 = -1+32) must not
+    drop that tap's contribution."""
+    rng = np.random.RandomState(11)
+    img, mask, _ = _setup(4, b=1)
+    n = 2048
+    c = np.zeros((1, n, 2), np.float32)
+    c[..., 0] = rng.uniform(-0.9, 0.9, (1, n))
+    # pixel y = 30.9 -> floor 30, ceil tap 31 with weight 0.9
+    c[..., 1] = (30.9 / (H - 1)) * 2 - 1
+    c[0, 0, :] = np.nan  # pins y_lo to -1
+    coords = jnp.asarray(c)
+    iq, mq = warp_image_mask_quad(img, mask, coords)
+    im, mm = warp_image_mask_mxu(img, mask, coords)
+    np.testing.assert_allclose(np.asarray(im), np.asarray(iq),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(mm), np.asarray(mq), atol=1e-6)

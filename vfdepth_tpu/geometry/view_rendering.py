@@ -33,7 +33,8 @@ from ..ops.grid_sample import grid_sample_2d
 
 def warp_image(src_img: jnp.ndarray, src_mask: jnp.ndarray,
                tar_depth: jnp.ndarray, tar_inv_k: jnp.ndarray,
-               src_k: jnp.ndarray, transform: jnp.ndarray
+               src_k: jnp.ndarray, transform: jnp.ndarray,
+               warp_op: str = "quad",
                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Warp source image/mask into the target view.
 
@@ -41,13 +42,15 @@ def warp_image(src_img: jnp.ndarray, src_mask: jnp.ndarray,
     Returns (warped_img, warped_mask) with mask already invalidated
     out-of-bounds.
 
-    The image+mask pair is warped by ONE packed-footprint row-gather
-    (``ops/warp_quad.py``): image channels combine bilinearly, the mask
-    channel with rounded weights (exact nearest, zero coordinate gradient,
-    matching torch). Photometric sources are inputs, so only coordinate
-    gradients exist.
+    ``warp_op`` selects the sampler: 'quad' — ONE packed-footprint
+    row-gather (``ops/warp_quad.py``, image channels bilinear, mask channel
+    rounded weights = exact nearest); 'mxu' — the banded one-hot-matmul
+    Pallas kernel (``ops/warp_mxu.py``, same tap semantics on the MXU,
+    TPU-only). Photometric sources are inputs, so only coordinate gradients
+    exist in either path.
     """
     from ..ops.warp_quad import warp_image_mask_quad
+    from ..ops.warp_mxu import warp_image_mask_mxu
 
     coords = project_coords(tar_depth, transform, tar_inv_k, src_k)
     h, w, c = src_img.shape[-3], src_img.shape[-2], src_img.shape[-1]
@@ -57,7 +60,8 @@ def warp_image(src_img: jnp.ndarray, src_mask: jnp.ndarray,
     img_flat = src_img.reshape(n_lead, h, w, c)
     mask_flat = src_mask.reshape(n_lead, h, w, 1)
     coords_flat = coords.reshape(n_lead, -1, 2)
-    img_w, mask_w = warp_image_mask_quad(img_flat, mask_flat, coords_flat)
+    op = warp_image_mask_mxu if warp_op == "mxu" else warp_image_mask_quad
+    img_w, mask_w = op(img_flat, mask_flat, coords_flat)
     img_w = img_w.reshape(lead + (h, w, c))
     mask_w = mask_w.reshape(lead + (h, w, 1))
 
@@ -255,6 +259,7 @@ def render_views(
     min_depth: float = 1.5,
     max_depth: float = 200.0,
     windows: Optional[WarpWindows] = None,
+    warp_op: str = "quad",
 ) -> RenderOutputs:
     """Render every warped view needed by the losses for one scale."""
     ctx_ids = list(frame_ids[1:])
@@ -274,6 +279,7 @@ def render_views(
         jnp.broadcast_to(inv_k[:, :, None], inv_k.shape[:2] + (n_ctx, 4, 4)),
         jnp.broadcast_to(k[:, :, None], k.shape[:2] + (n_ctx, 4, 4)),
         cam_t_cam,
+        warp_op=warp_op,
     )
     if do_intensity_align:
         ref = jnp.broadcast_to(colors[0][:, :, None], t_img.shape)
@@ -299,7 +305,7 @@ def render_views(
                     origin, box_hw)
             else:
                 w_img, w_mask = warp_image(src, nbr_mask, depn, invkn,
-                                           nbr_k, pose)
+                                           nbr_k, pose, warp_op=warp_op)
             w_mask = w_mask * nbr_valid_f
             if do_intensity_align:
                 refi = jnp.broadcast_to(colors[0][:, :, None], w_img.shape)

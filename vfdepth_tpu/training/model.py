@@ -93,7 +93,18 @@ class VFDepthModel:
         # warp_window.py). The static window size needs rig calibration:
         # call configure_warp_window(sample) before compiling, or set
         # tpu.warp_window_hw explicitly.
-        self.warp_window = bool(cfg.get("warp_window", True))
+        # Warp sampler: 'mxu' = banded one-hot-matmul Pallas kernel
+        # (ops/warp_mxu.py — the TPU default: moves the dominant per-step
+        # cost from latency-bound XLA gathers onto the MXU), 'quad' =
+        # packed-footprint XLA row-gather (ops/warp_quad.py, any backend).
+        self.warp_op = cfg.get("warp_op", "auto")
+        if self.warp_op == "auto":
+            self.warp_op = ("mxu" if jax.default_backend() == "tpu"
+                            else "quad")
+        # the MXU warp makes the windowed-gather optimization moot (its
+        # y-banding adapts to the actual coords dynamically)
+        self.warp_window = (bool(cfg.get("warp_window", True))
+                            and self.warp_op != "mxu")
         hw = cfg.get("warp_window_hw", None)  # [h, w] or [[h0,w0],[h1,w1]]
         if hw and not isinstance(hw[0], (list, tuple)):
             hw = (tuple(hw), tuple(hw))
@@ -429,7 +440,7 @@ class VFDepthModel:
                 extrinsics_aug=extrinsics_aug,
                 depth_aug=depths_aug[s] if depths_aug else None,
                 min_depth=self.min_depth, max_depth=self.max_depth,
-                windows=windows)
+                windows=windows, warp_op=self.warp_op)
 
         loss, logs = total_loss(rng_noise, self.loss_cfg, batch, disps, depths,
                                 cam_t_cam, rendered,
