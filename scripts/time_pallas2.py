@@ -32,11 +32,28 @@ def main():
     rng = np.random.RandomState(0)
     img = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
 
-    for tag, frac in (("dense", 1.0), ("wedge35", 0.35)):
+    cases = {}
+    for frac in (1.0, 0.35):
         co = rng.uniform(-1.0, 1.0, (b, n, 2)).astype(np.float32)
         if frac < 1.0:
             keep = int(n * frac)
             co[:, keep:, :] = -3.0
+        cases["dense" if frac == 1.0 else "wedge35"] = co
+    # voxel-ordered: each 256-pt sub-tile is an x-row arc (y nearly
+    # constant) like real [z, y, x]-ordered back-projections; 40% of
+    # sub-tiles fully out of FOV
+    co = np.empty((b, n, 2), np.float32)
+    for i in range(0, n, 256):
+        m = min(256, n - i)
+        yc = rng.uniform(-1.1, 1.1)
+        co[:, i:i + m, 1] = yc + rng.uniform(-0.03, 0.03, (b, m))
+        x0 = rng.uniform(-1.5, 0.5)
+        co[:, i:i + m, 0] = x0 + np.linspace(0, 1.0, m)[None]
+        if rng.rand() < 0.4:
+            co[:, i:i + m, :] = -3.0
+    cases["ordered"] = co
+
+    for tag, co in cases.items():
         coords = jnp.asarray(co)
         f = jax.jit(lambda i, cc: jnp.sum(
             sample_bilinear_pallas(i, cc).astype(jnp.float32)))

@@ -55,3 +55,38 @@ def test_pallas_no_coord_gradient():
     coords = jnp.asarray(rng.uniform(-0.9, 0.9, (1, 50, 2)).astype(np.float32))
     g = jax.grad(lambda c: jnp.sum(sample_bilinear_pallas(img, c)))(coords)
     np.testing.assert_allclose(np.asarray(g), 0.0)
+
+
+def test_pallas_masked_sampler_matches_separate_ops():
+    """Fused feature+mask kernel == bilinear feature sample + separate
+    NEAREST mask gather; the mask channel carries no gradient."""
+    from vfdepth_tpu.ops.pallas_sample import (
+        sample_bilinear_with_nearest_mask_pallas)
+
+    rng = np.random.RandomState(3)
+    b, h, w, c, n = 2, 48, 80, 16, 4096
+    img = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    mask = jnp.asarray((rng.rand(b, h, w, 1) > 0.4).astype(np.float32))
+    coords = jnp.asarray(rng.uniform(-1.3, 1.3, (b, n, 2)).astype(np.float32))
+
+    fm = sample_bilinear_with_nearest_mask_pallas(img, mask, coords)
+    assert fm.shape == (b, n, c + 1)
+    feat_ref = sample_bilinear_pallas(img, coords)
+    m_ref = grid_sample_2d(mask, coords, mode="nearest")[..., 0]
+    np.testing.assert_allclose(np.asarray(fm[..., :-1]),
+                               np.asarray(feat_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fm[..., -1]), np.asarray(m_ref),
+                               atol=1e-6)
+
+    # gradients: feature grads equal the unfused kernel's; mask grad zero
+    def loss_fused(i, mk):
+        return jnp.sum(sample_bilinear_with_nearest_mask_pallas(
+            i, mk, coords)[..., :-1] ** 2)
+
+    def loss_plain(i):
+        return jnp.sum(sample_bilinear_pallas(i, coords) ** 2)
+
+    gi, gm = jax.grad(loss_fused, argnums=(0, 1))(img, mask)
+    gi_ref = jax.grad(loss_plain)(img)
+    np.testing.assert_allclose(np.asarray(gi), np.asarray(gi_ref), atol=1e-5)
+    assert float(jnp.max(jnp.abs(gm))) == 0.0

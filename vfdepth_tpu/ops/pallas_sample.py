@@ -1,4 +1,4 @@
-"""Pallas TPU kernels: bilinear sampling as in-VMEM one-hot matmuls.
+"""Pallas TPU kernels: bilinear sampling as banded in-VMEM one-hot matmuls.
 
 The hot op of voxel back-projection — sample a small fusion-level feature map
 (48x80) at ~200k projected voxel centers per camera — is pathological for
@@ -7,14 +7,16 @@ compiles; measured v5e). These kernels express both directions as MXU
 matmuls against a 4-tap one-hot weight matrix that is built *inside* the
 kernel and never leaves VMEM:
 
-  forward : out[n, c]  = W[n, :] @ img[:, c]      (W: [TILE_N, HW])
-  backward: dimg[p, c] = W[:, p]^T @ g[:, c]      (accumulated over tiles)
+  forward : out[n, c]  = W[n, band] @ img[band, c]   (summed over y-bands)
+  backward: dimg[p, c] = W[band, n]^T @ g[n, c]      (accumulated over tiles)
 
-Per grid step the whole (flattened) source image lives in VMEM (~2-4 MB),
-W is a [TILE_N, HW] bf16 scratch, and the one-hot construction is a handful
-of VPU iota-compares. Compiles in seconds; runtime is flops-bound at
-N*HW*C MACs (~12 ms for the 6-cam back-projection) — ~10x faster than the
-XLA gather/scatter pair it replaces.
+The weight matrix is built per *y-band* of ``_SB`` source rows rather than
+over the whole image: voxel points are [z, y, x]-ordered, so a 256-point
+sub-tile projects into a narrow image band and the one-hot contraction
+shrinks from h*w to _SB*w (3x fewer MACs and W-build ops at 48x80). Bands
+live on an aligned lattice with DYNAMIC loop trip counts — fully
+out-of-FOV sub-tiles (50-70% of the volume per camera) run zero band
+iterations, replacing the previous explicit whole-tile skip.
 
 Coordinates carry no gradient (they are functions of calibration constants
 in the back-projection; reference ``network/volumetric_fusionnet.py:132-145``).
@@ -29,24 +31,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # points per W-build/matmul sub-tile and sub-tiles per grid step. Grid-step
-# overhead on TPU is ~10-15 us; the inner fori_loop amortizes it 8x while
-# keeping W at a VMEM-friendly [512, h*w].
+# overhead on TPU is ~10-15 us; the inner fori_loop amortizes it 8x.
 _TILE_N = 256
 _SUPER = 8  # 16+ exceeds the 16 MB scoped-vmem limit (out block scales with it)
 _BLOCK_N = _TILE_N * _SUPER
+_SB = 16    # source y-band rows (aligned lattice; bf16 sublane tile)
 
 
-def _separable_w(coords: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
-    """Build the bilinear weight matrix W [tile, h*w] in bf16.
+def _pix_taps(coords: jnp.ndarray, h: int, w: int):
+    """Pixel-space tap data for one sub-tile.
 
-    Bilinear weights factor per axis (w_yx = wy_y * wx_x). The column factor
-    (p%w pattern) expands with ``pltpu.repeat`` (tiles the 2-tap ohx built
-    from <=80-lane compares). The row factor (p//w pattern) is built with a
-    RANGE TEST on the full-width flat iota — p//w == y  <=>  y*w <= p <
-    (y+1)*w — all in bf16/int32, no f32 intermediate (an earlier Ey-matmul
-    variant needed a [tile, h*w] f32 accumulator that capped the tile size).
-    """
-    tile = coords.shape[0]
+    Returns (ohx [tile, w] bf16 2-tap x weights, iy0 [tile, 1] int32 floor
+    row, ty [tile, 1] bf16 y frac, y_lo, n_seg) — iy0 is sentinel-free;
+    band membership uses the aligned lattice (each tap row belongs to
+    exactly one band). Non-finite coords sanitize to -2 normalized (all
+    taps dead, zero active bands when a whole sub-tile is out of FOV)."""
     finite = jnp.isfinite(coords[:, 0]) & jnp.isfinite(coords[:, 1])
     cx = jnp.where(finite, coords[:, 0], -2.0)
     cy = jnp.where(finite, coords[:, 1], -2.0)
@@ -54,98 +53,110 @@ def _separable_w(coords: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     y = (cy + 1.0) * 0.5 * (h - 1)
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
-    wx = (x - x0)[:, None].astype(jnp.bfloat16)
-    wy = (y - y0)[:, None].astype(jnp.bfloat16)
+    fx32 = (x - x0)[:, None]                 # keep f32 for nearest picks:
+    fy32 = (y - y0)[:, None]                 # bf16 rounds ~0.5002 ONTO 0.5
+    wx = fx32.astype(jnp.bfloat16)
+    ty = fy32.astype(jnp.bfloat16)
     ix0 = x0.astype(jnp.int32)[:, None]
-    iy0w = (y0.astype(jnp.int32) * w)[:, None]
+    iy0 = y0.astype(jnp.int32)[:, None]
 
+    tile = coords.shape[0]
     iox = jax.lax.broadcasted_iota(jnp.int32, (tile, w), 1)
     one = jnp.bfloat16(1.0)
-    # iota compares zero out-of-range taps automatically (no match < 0 or >= n)
-    ohx = ((iox == ix0).astype(jnp.bfloat16) * (one - wx)
-           + (iox == ix0 + 1).astype(jnp.bfloat16) * wx)
-    ohx_full = pltpu.repeat(ohx, h, axis=1)            # [tile, h*w]
+    # iota compares zero out-of-range taps automatically (no match < 0 or >= w)
+    m0x = (iox == ix0)
+    m1x = (iox == ix0 + 1)
+    ohx = (m0x.astype(jnp.bfloat16) * (one - wx)
+           + m1x.astype(jnp.bfloat16) * wx)
+    # nearest x one-hot (rounded weights; exact NEAREST through the taps;
+    # the pick compares the F32 frac — a bf16 frac collapses ties)
+    pxn = (fx32 > 0.5).astype(jnp.bfloat16)
+    ohx_n = (m0x.astype(jnp.bfloat16) * (one - pxn)
+             + m1x.astype(jnp.bfloat16) * pxn)
 
-    iop = jax.lax.broadcasted_iota(jnp.int32, (tile, h * w), 1)
+    lo = jnp.clip(jnp.min(y0), -1.0, float(h)).astype(jnp.int32)
+    hi = jnp.clip(jnp.max(y0) + 2.0, -1.0, float(h) + 1.0).astype(jnp.int32)
+    lat = jnp.maximum((lo // _SB) * _SB, 0)
+    n_seg = jnp.maximum((jnp.minimum(hi, h) - lat + _SB - 1) // _SB, 0)
+    return ohx, ohx_n, iy0, ty, fy32, lat, n_seg
+
+
+def _wy_band(iy0, ty, o_kw, tile, w, h, transpose=False):
+    """Band y-weight factor: [tile, _SB*w] (or transposed [_SB*w, tile]).
+
+    Row block r covers flat pixels [o_kw + r*w, o_kw + (r+1)*w); tap rows
+    iy0 (weight 1-ty) and iy0+1 (weight ty) match via flat range tests,
+    with taps >= h invalidated (taps < 0 can never match: iop >= 0)."""
+    one = jnp.bfloat16(1.0)
+    big = jnp.int32(1 << 24)
+    iy0w = jnp.where(iy0 < h, iy0 * w, big)
+    iy1w = jnp.where(iy0 + 1 < h, (iy0 + 1) * w, big)
+    if transpose:
+        iop = jax.lax.broadcasted_iota(jnp.int32, (_SB * w, tile), 0) + o_kw
+        iy0w, iy1w, ty = iy0w.T, iy1w.T, ty.T
+    else:
+        iop = jax.lax.broadcasted_iota(jnp.int32, (tile, _SB * w), 1) + o_kw
     row0 = ((iop >= iy0w) & (iop < iy0w + w))
-    row1 = ((iop >= iy0w + w) & (iop < iy0w + 2 * w))
-    ohy_full = (row0.astype(jnp.bfloat16) * (one - wy)
-                + row1.astype(jnp.bfloat16) * wy)
-    return ohx_full * ohy_full
+    row1 = ((iop >= iy1w) & (iop < iy1w + w))
+    return (row0.astype(jnp.bfloat16) * (one - ty)
+            + row1.astype(jnp.bfloat16) * ty)
 
 
-def _any_in_bounds(coords: jnp.ndarray) -> jnp.ndarray:
-    """Scalar: does any point of this sub-tile have a nonzero tap?
+def _fwd_kernel(h: int, w: int, with_mask: bool, img_ref, coords_ref,
+                *rest):
+    """img (bf16) [h*w, C]; coords [BLOCK_N, 2]; out [BLOCK_N, C(+1)].
 
-    Out-of-FOV voxels (behind the camera / projecting outside the feature
-    map — typically 50-70% of the volume per camera) produce all-zero W
-    rows; whole sub-tiles of them are contiguous in the [z, y, x] voxel
-    order, so their matmuls can be skipped entirely."""
-    cx = coords[:, 0]
-    cy = coords[:, 1]
-    ok = (jnp.isfinite(cx) & jnp.isfinite(cy)
-          & (cx >= -1.0) & (cx <= 1.0) & (cy >= -1.0) & (cy <= 1.0))
-    return jnp.any(ok)
-
-
-def _fwd_kernel(h: int, w: int, img_ref, coords_ref, out_ref):
-    """img (bf16) [h*w, C]; coords [BLOCK_N, 2]; out [BLOCK_N, C]."""
-    img_bf16 = img_ref[:]
+    with_mask: an extra input mask2d (bf16) [h_pad, w] is NEAREST-sampled
+    through the same taps (rounded per-axis one-hots) into the LAST output
+    channel — replaces a separate 2.4M-scalar-row XLA gather in the
+    back-projection validity test."""
+    if with_mask:
+        mask_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
+    c = out_ref.shape[-1] - (1 if with_mask else 0)
 
     def body(k, _):
         sl = pl.ds(k * _TILE_N, _TILE_N)
         coords = coords_ref[sl, :]
+        ohx, ohx_n, iy0, ty, fy32, lat, n_seg = _pix_taps(coords, h, w)
+        ohx_full = pltpu.repeat(ohx, _SB, axis=1)      # [tile, SB*w]
+        if with_mask:
+            big = jnp.int32(1 << 24)
+            iy0v = jnp.where(iy0 < h, iy0, big)
+            iy1v = jnp.where(iy0 + 1 < h, iy0 + 1, big)
+            pyn = (fy32 > 0.5).astype(jnp.bfloat16)
+            ior_sb = jax.lax.broadcasted_iota(
+                jnp.int32, (_TILE_N, _SB), 1)
 
-        @pl.when(_any_in_bounds(coords))
-        def _():
-            w_mat = _separable_w(coords, h, w)
-            out_ref[sl, :] = jnp.dot(w_mat, img_bf16,
-                                     preferred_element_type=jnp.float32
-                                     ).astype(out_ref.dtype)
+        def seg(s, acc):
+            o_k = pl.multiple_of(lat + s * _SB, _SB)
+            o_kw = pl.multiple_of(o_k * w, _SB * w)
+            band = img_ref[pl.ds(o_kw, _SB * w), :]    # [SB*w, C]
+            w_mat = ohx_full * _wy_band(iy0, ty, o_kw, _TILE_N, w, h)
+            feat = jnp.dot(w_mat, band, preferred_element_type=jnp.float32)
+            if not with_mask:
+                return acc + feat
+            mband = mask_ref[pl.ds(o_k, _SB), :]       # [SB, w]
+            # separable nearest for the single mask channel: small matmul
+            # over x, then a per-point row pick over the band's _SB rows
+            tmp = jax.lax.dot_general(
+                ohx_n, mband, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)    # [tile, SB]
+            ryn = ((ior_sb == iy0v - o_k).astype(jnp.float32)
+                   * (1.0 - pyn.astype(jnp.float32))
+                   + (ior_sb == iy1v - o_k).astype(jnp.float32)
+                   * pyn.astype(jnp.float32))
+            m_out = jnp.sum(tmp * ryn, axis=1, keepdims=True)
+            return acc + jnp.concatenate([feat, m_out], axis=1)
 
-        @pl.when(jnp.logical_not(_any_in_bounds(coords)))
-        def _():
-            out_ref[sl, :] = jnp.zeros((_TILE_N, out_ref.shape[-1]),
-                                       out_ref.dtype)
+        acc = jax.lax.fori_loop(
+            0, n_seg, seg,
+            jnp.zeros((_TILE_N, c + (1 if with_mask else 0)), jnp.float32))
+        out_ref[sl, :] = acc.astype(out_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, _SUPER, body, 0)
-
-
-def _separable_w_T(coords: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
-    """Transposed weight matrix W^T [h*w, tile] in bf16.
-
-    The backward contraction dimg[p, c] = sum_n W[n, p] g[n, c] wants W laid
-    out pixel-major: ``W_T @ g`` is then a canonical (last-dim x first-dim)
-    MXU matmul. Building W^T directly avoids the 2 MB per-sub-tile transpose
-    Mosaic emits for a dim-0 contraction (measured: bwd 2.1x the forward's
-    time for identical flops before this).
-    """
-    tile = coords.shape[0]
-    finite = jnp.isfinite(coords[:, 0]) & jnp.isfinite(coords[:, 1])
-    cx = jnp.where(finite, coords[:, 0], -2.0)
-    cy = jnp.where(finite, coords[:, 1], -2.0)
-    x = (cx + 1.0) * 0.5 * (w - 1)
-    y = (cy + 1.0) * 0.5 * (h - 1)
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    wx = (x - x0)[None, :].astype(jnp.bfloat16)   # [1, tile]
-    wy = (y - y0)[None, :].astype(jnp.bfloat16)
-    ix0 = x0.astype(jnp.int32)[None, :]
-    iy0w = (y0.astype(jnp.int32) * w)[None, :]
-
-    one = jnp.bfloat16(1.0)
-    iox = jax.lax.broadcasted_iota(jnp.int32, (w, tile), 0)
-    ohx = ((iox == ix0).astype(jnp.bfloat16) * (one - wx)
-           + (iox == ix0 + 1).astype(jnp.bfloat16) * wx)
-    ohx_full = pltpu.repeat(ohx, h, axis=0)            # [h*w, tile], row p -> p%w
-
-    iop = jax.lax.broadcasted_iota(jnp.int32, (h * w, tile), 0)
-    row0 = ((iop >= iy0w) & (iop < iy0w + w))
-    row1 = ((iop >= iy0w + w) & (iop < iy0w + 2 * w))
-    ohy_full = (row0.astype(jnp.bfloat16) * (one - wy)
-                + row1.astype(jnp.bfloat16) * wy)
-    return ohx_full * ohy_full
 
 
 def _bwd_kernel(h: int, w: int, g_ref, coords_ref, out_ref, acc_ref):
@@ -154,7 +165,9 @@ def _bwd_kernel(h: int, w: int, g_ref, coords_ref, out_ref, acc_ref):
     The accumulator lives in single-buffered scratch (persists across the
     sequential grid); the pipelined output block only receives the final
     value, halving peak VMEM vs accumulating in the (double-buffered) output.
-    """
+    The transposed W is built band-by-band and accumulated into the band's
+    rows only — a dim-0-contraction with a full-height W made Mosaic emit a
+    2 MB transpose per sub-tile before this."""
     step = pl.program_id(1)
 
     @pl.when(step == 0)
@@ -164,12 +177,19 @@ def _bwd_kernel(h: int, w: int, g_ref, coords_ref, out_ref, acc_ref):
     def body(k, _):
         sl = pl.ds(k * _TILE_N, _TILE_N)
         coords = coords_ref[sl, :]
+        ohx, _, iy0, ty, _, lat, n_seg = _pix_taps(coords, h, w)
+        ohx_t_full = pltpu.repeat(ohx.T, _SB, axis=0)  # [SB*w, tile]
+        g = g_ref[sl, :]
 
-        @pl.when(_any_in_bounds(coords))
-        def _():
-            w_t = _separable_w_T(coords, h, w)          # [h*w, tile]
-            acc_ref[:] += jnp.dot(w_t, g_ref[sl, :],
-                                  preferred_element_type=jnp.float32)
+        def seg(s, _):
+            o_kw = pl.multiple_of((lat + s * _SB) * w, _SB * w)
+            w_t = ohx_t_full * _wy_band(iy0, ty, o_kw, _TILE_N, w, h,
+                                        transpose=True)
+            acc_ref[pl.ds(o_kw, _SB * w), :] += jnp.dot(
+                w_t, g, preferred_element_type=jnp.float32)
+            return 0
+
+        jax.lax.fori_loop(0, n_seg, seg, 0)
         return 0
 
     jax.lax.fori_loop(0, _SUPER, body, 0)
@@ -188,29 +208,52 @@ def _pad_pts(x: jnp.ndarray):
     return x, n
 
 
-def _fwd_call(img_flat: jnp.ndarray, coords: jnp.ndarray, h: int, w: int):
-    """img_flat [B, h*w, C]; coords [B, N, 2] -> [B, N, C]."""
+def _pad_rows(h: int) -> int:
+    return -(-h // _SB) * _SB
+
+
+def _fwd_call(img_flat: jnp.ndarray, coords: jnp.ndarray, h: int, w: int,
+              mask2d=None):
+    """img_flat [B, h*w, C]; coords [B, N, 2]; optional mask2d [B, h, w]
+    -> [B, N, C (+1 nearest-sampled mask channel)]."""
     b, hw, c = img_flat.shape
     coords_p, n = _pad_pts(coords)
     n_tiles = coords_p.shape[1] // _BLOCK_N
+    with_mask = mask2d is not None
 
+    # pad source rows to the band lattice (taps >= h are sentinel-dead,
+    # so padding rows are never addressed with nonzero weight)
+    hp = _pad_rows(h) * w
+    if hp != hw:
+        img_flat = jnp.pad(img_flat, ((0, 0), (0, hp - hw), (0, 0)))
     # cast outside the kernel: a separate f32 source + bf16 copy inside VMEM
     # was the difference between fitting and a scoped-vmem OOM
     img_flat = img_flat.astype(jnp.bfloat16)
+    in_specs = [
+        pl.BlockSpec((None, hp, c), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((None, _BLOCK_N, 2), lambda i, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [img_flat, coords_p]
+    if with_mask:
+        hr = _pad_rows(h)
+        if hr != h:
+            mask2d = jnp.pad(mask2d, ((0, 0), (0, hr - h), (0, 0)))
+        args.append(mask2d.astype(jnp.bfloat16))
+        in_specs.append(pl.BlockSpec((None, hr, w), lambda i, j: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+    co = c + (1 if with_mask else 0)
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, h, w),
+        functools.partial(_fwd_kernel, h, w, with_mask),
         grid=(b, n_tiles),
-        in_specs=[
-            pl.BlockSpec((None, hw, c), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, _BLOCK_N, 2), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((None, _BLOCK_N, c), lambda i, j: (i, j, 0),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((None, _BLOCK_N, co), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, coords_p.shape[1], c), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((b, coords_p.shape[1], co),
+                                       jnp.bfloat16),
         interpret=(jax.default_backend() != "tpu"),
-    )(img_flat, coords_p)
+    )(*args)
     return out[:, :n]
 
 
@@ -224,7 +267,8 @@ def _bwd_call(g: jnp.ndarray, coords: jnp.ndarray, h: int, w: int):
     n_tiles = coords_p.shape[1] // _BLOCK_N
 
     g = g.astype(jnp.bfloat16)  # halves the VMEM block (accumulator stays f32)
-    return pl.pallas_call(
+    hp = _pad_rows(h) * w
+    out = pl.pallas_call(
         functools.partial(_bwd_kernel, h, w),
         grid=(b, n_tiles),
         in_specs=[
@@ -233,12 +277,13 @@ def _bwd_call(g: jnp.ndarray, coords: jnp.ndarray, h: int, w: int):
             pl.BlockSpec((None, _BLOCK_N, 2), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((None, h * w, c), lambda i, j: (i, 0, 0),
+        out_specs=pl.BlockSpec((None, hp, c), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h * w, c), jnp.bfloat16),
-        scratch_shapes=[pltpu.VMEM((h * w, c), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((b, hp, c), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((hp, c), jnp.float32)],
         interpret=(jax.default_backend() != "tpu"),
     )(g, coords_p)
+    return out[:, :h * w]
 
 
 @jax.custom_vjp
@@ -265,12 +310,52 @@ def _pallas_sample_bwd(res, g):
 _pallas_sample.defvjp(_pallas_sample_fwd, _pallas_sample_bwd)
 
 
+@jax.custom_vjp
+def _pallas_sample_masked(img: jnp.ndarray, mask: jnp.ndarray,
+                          coords: jnp.ndarray):
+    h, w = img.shape[-3], img.shape[-2]
+    img_flat = img.reshape(img.shape[0], h * w, img.shape[-1])
+    return _fwd_call(img_flat, coords, h, w,
+                     mask2d=mask[..., 0]).astype(img.dtype)
+
+
+def _pallas_sample_masked_fwd(img, mask, coords):
+    out = _pallas_sample_masked(img, mask, coords)
+    return out, (coords, img.shape, mask.shape)
+
+
+def _pallas_sample_masked_bwd(res, g):
+    coords, img_shape, mask_shape = res
+    h, w = img_shape[-3], img_shape[-2]
+    # the nearest mask channel carries no gradient (validity is a
+    # stop-gradient input in the reference, volumetric_fusionnet.py:183-195)
+    dimg_flat = _bwd_call(g[..., :img_shape[-1]], coords, h, w)
+    return (dimg_flat.reshape(img_shape).astype(g.dtype),
+            jnp.zeros(mask_shape, g.dtype), jnp.zeros_like(coords))
+
+
+_pallas_sample_masked.defvjp(_pallas_sample_masked_fwd,
+                             _pallas_sample_masked_bwd)
+
+
 def sample_bilinear_pallas(img: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
-    """Bilinear sample via the Pallas one-hot-matmul kernel.
+    """Bilinear sample via the banded Pallas one-hot-matmul kernel.
 
     Args:
-      img: [B, H, W, C] small source (H*W*C must fit VMEM, <= ~4 MB).
+      img: [B, H, W, C] small source (H*W*C must fit VMEM, <= ~4 MB;
+        H a multiple of 16).
       coords: [B, N, 2] normalized (x, y), align_corners=True.
     Returns [B, N, C]; gradient flows to img only.
     """
     return _pallas_sample(img, coords)
+
+
+def sample_bilinear_with_nearest_mask_pallas(
+        img: jnp.ndarray, mask: jnp.ndarray,
+        coords: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear feature sample + NEAREST mask sample in one kernel pass.
+
+    img: [B, H, W, C]; mask: [B, H, W, 1]; coords as above. Returns
+    [B, N, C+1] — last channel is the nearest-sampled mask (no gradient).
+    """
+    return _pallas_sample_masked(img, mask, coords)
