@@ -128,3 +128,23 @@ def test_ceil_tap_on_band_boundary():
     np.testing.assert_allclose(np.asarray(im), np.asarray(iq),
                                atol=2e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(mm), np.asarray(mq), atol=1e-6)
+
+
+def test_patch_layout_equals_strip():
+    """layout='patch' permutes target pixels into 16x16 patches around the
+    (order-oblivious) kernel; results must equal the strip layout exactly,
+    including coordinate gradients."""
+    img, mask, coords = _setup(5, b=1)  # n = H*W, patchable
+
+    is_, ms_ = warp_image_mask_mxu(img, mask, coords, layout="strip")
+    ip, mp = warp_image_mask_mxu(img, mask, coords, layout="patch")
+    np.testing.assert_allclose(np.asarray(ip), np.asarray(is_), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(mp), np.asarray(ms_), atol=1e-6)
+
+    def loss(c, layout):
+        iw, mw = warp_image_mask_mxu(img, mask, c, layout=layout)
+        return jnp.sum(iw ** 2) + jnp.sum(mw * 0.25)
+
+    gs = jax.grad(lambda c: loss(c, "strip"))(coords)
+    gp = jax.grad(lambda c: loss(c, "patch"))(coords)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gs), atol=1e-6)

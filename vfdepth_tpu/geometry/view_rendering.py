@@ -34,7 +34,7 @@ from ..ops.grid_sample import grid_sample_2d
 def warp_image(src_img: jnp.ndarray, src_mask: jnp.ndarray,
                tar_depth: jnp.ndarray, tar_inv_k: jnp.ndarray,
                src_k: jnp.ndarray, transform: jnp.ndarray,
-               warp_op: str = "quad",
+               warp_op: str = "quad", mxu_layout: str = "strip",
                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Warp source image/mask into the target view.
 
@@ -60,8 +60,11 @@ def warp_image(src_img: jnp.ndarray, src_mask: jnp.ndarray,
     img_flat = src_img.reshape(n_lead, h, w, c)
     mask_flat = src_mask.reshape(n_lead, h, w, 1)
     coords_flat = coords.reshape(n_lead, -1, 2)
-    op = warp_image_mask_mxu if warp_op == "mxu" else warp_image_mask_quad
-    img_w, mask_w = op(img_flat, mask_flat, coords_flat)
+    if warp_op == "mxu":
+        img_w, mask_w = warp_image_mask_mxu(img_flat, mask_flat, coords_flat,
+                                            layout=mxu_layout)
+    else:
+        img_w, mask_w = warp_image_mask_quad(img_flat, mask_flat, coords_flat)
     img_w = img_w.reshape(lead + (h, w, c))
     mask_w = mask_w.reshape(lead + (h, w, 1))
 
@@ -305,7 +308,8 @@ def render_views(
                     origin, box_hw)
             else:
                 w_img, w_mask = warp_image(src, nbr_mask, depn, invkn,
-                                           nbr_k, pose, warp_op=warp_op)
+                                           nbr_k, pose, warp_op=warp_op,
+                                           mxu_layout="patch")
             w_mask = w_mask * nbr_valid_f
             if do_intensity_align:
                 refi = jnp.broadcast_to(colors[0][:, :, None], w_img.shape)

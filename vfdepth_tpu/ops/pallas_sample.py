@@ -35,10 +35,18 @@ from jax.experimental.pallas import tpu as pltpu
 _TILE_N = 256
 _SUPER = 8  # 16+ exceeds the 16 MB scoped-vmem limit (out block scales with it)
 _BLOCK_N = _TILE_N * _SUPER
-_SB = 16    # source y-band rows (aligned lattice; bf16 sublane tile)
+# Source y-band rows (aligned lattice; multiple of the bf16 sublane tile).
+# Measured in-model (v5e): 16-row banding LOSES on the real voxel
+# back-projection — a 256-pt sub-tile is ~2.5 voxel x-rows spanning +-50 m
+# of world, which projects across most of the 48-row image, so banding
+# multiplies W-builds without shrinking them. Whole-image "bands" keep the
+# dynamic zero-iteration skip for out-of-FOV sub-tiles and the fused
+# nearest-mask channel. (Banding stays selectable here for taller sources.)
+def _band_rows(h: int) -> int:
+    return -(-h // 16) * 16
 
 
-def _pix_taps(coords: jnp.ndarray, h: int, w: int):
+def _pix_taps(coords: jnp.ndarray, h: int, w: int, sb: int):
     """Pixel-space tap data for one sub-tile.
 
     Returns (ohx [tile, w] bf16 2-tap x weights, iy0 [tile, 1] int32 floor
@@ -76,13 +84,13 @@ def _pix_taps(coords: jnp.ndarray, h: int, w: int):
 
     lo = jnp.clip(jnp.min(y0), -1.0, float(h)).astype(jnp.int32)
     hi = jnp.clip(jnp.max(y0) + 2.0, -1.0, float(h) + 1.0).astype(jnp.int32)
-    lat = jnp.maximum((lo // _SB) * _SB, 0)
-    n_seg = jnp.maximum((jnp.minimum(hi, h) - lat + _SB - 1) // _SB, 0)
+    lat = jnp.maximum((lo // sb) * sb, 0)
+    n_seg = jnp.maximum((jnp.minimum(hi, h) - lat + sb - 1) // sb, 0)
     return ohx, ohx_n, iy0, ty, fy32, lat, n_seg
 
 
-def _wy_band(iy0, ty, o_kw, tile, w, h, transpose=False):
-    """Band y-weight factor: [tile, _SB*w] (or transposed [_SB*w, tile]).
+def _wy_band(iy0, ty, o_kw, tile, w, h, sb, transpose=False):
+    """Band y-weight factor: [tile, sb*w] (or transposed [sb*w, tile]).
 
     Row block r covers flat pixels [o_kw + r*w, o_kw + (r+1)*w); tap rows
     iy0 (weight 1-ty) and iy0+1 (weight ty) match via flat range tests,
@@ -92,18 +100,18 @@ def _wy_band(iy0, ty, o_kw, tile, w, h, transpose=False):
     iy0w = jnp.where(iy0 < h, iy0 * w, big)
     iy1w = jnp.where(iy0 + 1 < h, (iy0 + 1) * w, big)
     if transpose:
-        iop = jax.lax.broadcasted_iota(jnp.int32, (_SB * w, tile), 0) + o_kw
+        iop = jax.lax.broadcasted_iota(jnp.int32, (sb * w, tile), 0) + o_kw
         iy0w, iy1w, ty = iy0w.T, iy1w.T, ty.T
     else:
-        iop = jax.lax.broadcasted_iota(jnp.int32, (tile, _SB * w), 1) + o_kw
+        iop = jax.lax.broadcasted_iota(jnp.int32, (tile, sb * w), 1) + o_kw
     row0 = ((iop >= iy0w) & (iop < iy0w + w))
     row1 = ((iop >= iy1w) & (iop < iy1w + w))
     return (row0.astype(jnp.bfloat16) * (one - ty)
             + row1.astype(jnp.bfloat16) * ty)
 
 
-def _fwd_kernel(h: int, w: int, with_mask: bool, img_ref, coords_ref,
-                *rest):
+def _fwd_kernel(h: int, w: int, sb: int, with_mask: bool, img_ref,
+                coords_ref, *rest):
     """img (bf16) [h*w, C]; coords [BLOCK_N, 2]; out [BLOCK_N, C(+1)].
 
     with_mask: an extra input mask2d (bf16) [h_pad, w] is NEAREST-sampled
@@ -119,25 +127,25 @@ def _fwd_kernel(h: int, w: int, with_mask: bool, img_ref, coords_ref,
     def body(k, _):
         sl = pl.ds(k * _TILE_N, _TILE_N)
         coords = coords_ref[sl, :]
-        ohx, ohx_n, iy0, ty, fy32, lat, n_seg = _pix_taps(coords, h, w)
-        ohx_full = pltpu.repeat(ohx, _SB, axis=1)      # [tile, SB*w]
+        ohx, ohx_n, iy0, ty, fy32, lat, n_seg = _pix_taps(coords, h, w, sb)
+        ohx_full = pltpu.repeat(ohx, sb, axis=1)       # [tile, sb*w]
         if with_mask:
             big = jnp.int32(1 << 24)
             iy0v = jnp.where(iy0 < h, iy0, big)
             iy1v = jnp.where(iy0 + 1 < h, iy0 + 1, big)
             pyn = (fy32 > 0.5).astype(jnp.bfloat16)
             ior_sb = jax.lax.broadcasted_iota(
-                jnp.int32, (_TILE_N, _SB), 1)
+                jnp.int32, (_TILE_N, sb), 1)
 
         def seg(s, acc):
-            o_k = pl.multiple_of(lat + s * _SB, _SB)
-            o_kw = pl.multiple_of(o_k * w, _SB * w)
-            band = img_ref[pl.ds(o_kw, _SB * w), :]    # [SB*w, C]
-            w_mat = ohx_full * _wy_band(iy0, ty, o_kw, _TILE_N, w, h)
+            o_k = pl.multiple_of(lat + s * sb, sb)
+            o_kw = pl.multiple_of(o_k * w, sb * w)
+            band = img_ref[pl.ds(o_kw, sb * w), :]     # [sb*w, C]
+            w_mat = ohx_full * _wy_band(iy0, ty, o_kw, _TILE_N, w, h, sb)
             feat = jnp.dot(w_mat, band, preferred_element_type=jnp.float32)
             if not with_mask:
                 return acc + feat
-            mband = mask_ref[pl.ds(o_k, _SB), :]       # [SB, w]
+            mband = mask_ref[pl.ds(o_k, sb), :]        # [sb, w]
             # separable nearest for the single mask channel: small matmul
             # over x, then a per-point row pick over the band's _SB rows
             tmp = jax.lax.dot_general(
@@ -159,7 +167,8 @@ def _fwd_kernel(h: int, w: int, with_mask: bool, img_ref, coords_ref,
     jax.lax.fori_loop(0, _SUPER, body, 0)
 
 
-def _bwd_kernel(h: int, w: int, g_ref, coords_ref, out_ref, acc_ref):
+def _bwd_kernel(h: int, w: int, sb: int, g_ref, coords_ref, out_ref,
+                acc_ref):
     """g [BLOCK_N, C]; out (bf16) [h*w, C]; acc (f32 scratch) [h*w, C].
 
     The accumulator lives in single-buffered scratch (persists across the
@@ -177,15 +186,15 @@ def _bwd_kernel(h: int, w: int, g_ref, coords_ref, out_ref, acc_ref):
     def body(k, _):
         sl = pl.ds(k * _TILE_N, _TILE_N)
         coords = coords_ref[sl, :]
-        ohx, _, iy0, ty, _, lat, n_seg = _pix_taps(coords, h, w)
-        ohx_t_full = pltpu.repeat(ohx.T, _SB, axis=0)  # [SB*w, tile]
+        ohx, _, iy0, ty, _, lat, n_seg = _pix_taps(coords, h, w, sb)
+        ohx_t_full = pltpu.repeat(ohx.T, sb, axis=0)   # [sb*w, tile]
         g = g_ref[sl, :]
 
         def seg(s, _):
-            o_kw = pl.multiple_of((lat + s * _SB) * w, _SB * w)
-            w_t = ohx_t_full * _wy_band(iy0, ty, o_kw, _TILE_N, w, h,
+            o_kw = pl.multiple_of((lat + s * sb) * w, sb * w)
+            w_t = ohx_t_full * _wy_band(iy0, ty, o_kw, _TILE_N, w, h, sb,
                                         transpose=True)
-            acc_ref[pl.ds(o_kw, _SB * w), :] += jnp.dot(
+            acc_ref[pl.ds(o_kw, sb * w), :] += jnp.dot(
                 w_t, g, preferred_element_type=jnp.float32)
             return 0
 
@@ -209,7 +218,7 @@ def _pad_pts(x: jnp.ndarray):
 
 
 def _pad_rows(h: int) -> int:
-    return -(-h // _SB) * _SB
+    return -(-h // _band_rows(h)) * _band_rows(h)
 
 
 def _fwd_call(img_flat: jnp.ndarray, coords: jnp.ndarray, h: int, w: int,
@@ -245,7 +254,7 @@ def _fwd_call(img_flat: jnp.ndarray, coords: jnp.ndarray, h: int, w: int,
                                      memory_space=pltpu.VMEM))
     co = c + (1 if with_mask else 0)
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, h, w, with_mask),
+        functools.partial(_fwd_kernel, h, w, _band_rows(h), with_mask),
         grid=(b, n_tiles),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((None, _BLOCK_N, co), lambda i, j: (i, j, 0),
@@ -269,7 +278,7 @@ def _bwd_call(g: jnp.ndarray, coords: jnp.ndarray, h: int, w: int):
     g = g.astype(jnp.bfloat16)  # halves the VMEM block (accumulator stays f32)
     hp = _pad_rows(h) * w
     out = pl.pallas_call(
-        functools.partial(_bwd_kernel, h, w),
+        functools.partial(_bwd_kernel, h, w, _band_rows(h)),
         grid=(b, n_tiles),
         in_specs=[
             pl.BlockSpec((None, _BLOCK_N, c), lambda i, j: (i, j, 0),

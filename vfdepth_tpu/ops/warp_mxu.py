@@ -165,7 +165,31 @@ def _fwd_kernel(h: int, w: int, w_pad: int, src_ref, x_ref, y_ref,
     jax.lax.fori_loop(0, n_yseg, yseg_body, 0, unroll=False)
 
 
-def _prep(img, mask, coords):
+_PATCH = (16, 16)   # patch layout: each micro-tile is a 16x16 image patch
+
+
+def _patchable(h, w, n):
+    ph, pw = _PATCH
+    return n == h * w and h % ph == 0 and w % pw == 0
+
+
+def _to_patches(a, h, w):
+    """[B, H*W] row-major -> patch-major (each 256 = one 16x16 patch)."""
+    ph, pw = _PATCH
+    b = a.shape[0]
+    a = a.reshape(b, h // ph, ph, w // pw, pw)
+    return jnp.transpose(a, (0, 1, 3, 2, 4)).reshape(b, h * w)
+
+
+def _from_patches(a, h, w):
+    """[B, C, H*W] patch-major -> row-major (inverse of _to_patches)."""
+    ph, pw = _PATCH
+    b, c = a.shape[:2]
+    a = a.reshape(b, c, h // ph, w // pw, ph, pw)
+    return jnp.transpose(a, (0, 1, 2, 4, 3, 5)).reshape(b, c, h * w)
+
+
+def _prep(img, mask, coords, layout="strip"):
     """-> (src [B, C+1, H, Wp] bf16, x, y [B, Np/_MICRO, _MICRO] f32, n, np)."""
     b, h, w, c = img.shape
     assert c == _C, f"warp_mxu expects {_C} image channels, got {c}"
@@ -188,6 +212,13 @@ def _prep(img, mask, coords):
     # rounding and flips nearest-mask picks at ties
     x = (jnp.where(finite, coords[..., 0], -4.0) + 1.0) * (0.5 * (w - 1))
     y = (jnp.where(finite, coords[..., 1], -4.0) + 1.0) * (0.5 * (h - 1))
+    if layout == "patch" and _patchable(h, w, n):
+        # each micro-tile becomes a 16x16 target patch: cross-camera warps
+        # have x/y spreads proportional to the patch extent, so square
+        # patches hit far fewer (y-band x x-window) cells than 0.4-row
+        # linear strips (the kernel itself is pixel-order oblivious)
+        x = _to_patches(x, h, w)
+        y = _to_patches(y, h, w)
     n_pad = -(-n // _BLOCK_T) * _BLOCK_T
     if n_pad != n:
         pad = ((0, 0), (0, n_pad - n))
@@ -232,46 +263,64 @@ def _fwd_call(src, x, y, h, w, w_pad, n_pad):
     )(src, x, y)
 
 
-def _run(img, mask, coords):
+def _run(img, mask, coords, layout):
     h, w = img.shape[1], img.shape[2]
-    src, x, y, n, n_pad = _prep(img, mask, coords)
+    src, x, y, n, n_pad = _prep(img, mask, coords, layout)
     out, ddx, ddy = _fwd_call(src, x, y, h, w, src.shape[-1], n_pad)
-    out = jnp.transpose(out[:, :, :n], (0, 2, 1))
+    if layout == "patch" and _patchable(h, w, coords.shape[1]):
+        # back to canonical row-major order (residuals included, so the
+        # backward dot needs no permutation)
+        out = _from_patches(out[:, :, :n], h, w)
+        ddx = _from_patches(ddx[:, :, :n], h, w)
+        ddy = _from_patches(ddy[:, :, :n], h, w)
+    else:
+        out, ddx, ddy = out[:, :, :n], ddx[:, :, :n], ddy[:, :, :n]
+    out = jnp.transpose(out, (0, 2, 1))
     return (out[..., :_C].astype(img.dtype), out[..., _C:].astype(img.dtype),
-            ddx[:, :, :n], ddy[:, :, :n])
+            ddx, ddy)
 
 
-@jax.custom_vjp
+def _make_op(layout):
+    @jax.custom_vjp
+    def op(img, mask, coords):
+        img_w, mask_w, _, _ = _run(img, mask, coords, layout)
+        return img_w, mask_w
+
+    def fwd(img, mask, coords):
+        img_w, mask_w, ddx, ddy = _run(img, mask, coords, layout)
+        finite = jnp.all(jnp.isfinite(coords), axis=-1, keepdims=True)
+        # img/mask ride along only for zeros_like (inputs stay live during
+        # grad anyway — no extra memory)
+        return (img_w, mask_w), (ddx, ddy, finite, img, mask)
+
+    def bwd(res, gs):
+        ddx, ddy, finite, img, mask = res
+        h, w = img.shape[1], img.shape[2]
+        g_img, _g_mask = gs                  # nearest mask: no coord grad
+        g = jnp.transpose(g_img, (0, 2, 1)).astype(jnp.float32)  # [B, C, N]
+        gx = jnp.sum(g * ddx, axis=1) * (0.5 * (w - 1))
+        gy = jnp.sum(g * ddy, axis=1) * (0.5 * (h - 1))
+        dcoords = jnp.where(finite, jnp.stack([gx, gy], axis=-1), 0.0)
+        return jnp.zeros_like(img), jnp.zeros_like(mask), dcoords
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+_OPS = {"strip": _make_op("strip"), "patch": _make_op("patch")}
+
+
 def warp_image_mask_mxu(img: jnp.ndarray, mask: jnp.ndarray,
-                        coords: jnp.ndarray):
+                        coords: jnp.ndarray, layout: str = "strip"):
     """Jointly warp image (bilinear) + mask (nearest) on the MXU.
 
     Drop-in for ``ops/warp_quad.warp_image_mask_quad``:
     img [B, H, W, 3]; mask [B, H, W, 1]; coords [B, N, 2] normalized (x, y)
     in [-1, 1] (align_corners). Returns (img_w [B, N, 3], mask_w [B, N, 1]);
     gradients flow to coords only.
+
+    layout: 'strip' = micro-tiles are 0.4-row runs (best for near-identity
+    temporal warps); 'patch' = 16x16 target patches (best for cross-camera
+    overlap warps with large coordinate spreads). Identical results.
     """
-    img_w, mask_w, _, _ = _run(img, mask, coords)
-    return img_w, mask_w
-
-
-def _mxu_fwd(img, mask, coords):
-    img_w, mask_w, ddx, ddy = _run(img, mask, coords)
-    finite = jnp.all(jnp.isfinite(coords), axis=-1, keepdims=True)
-    # img/mask ride along only for zeros_like (inputs stay live during
-    # grad anyway — no extra memory)
-    return (img_w, mask_w), (ddx, ddy, finite, img, mask)
-
-
-def _mxu_bwd(res, gs):
-    ddx, ddy, finite, img, mask = res
-    h, w = img.shape[1], img.shape[2]
-    g_img, _g_mask = gs                      # nearest mask: no coord grad
-    g = jnp.transpose(g_img, (0, 2, 1)).astype(jnp.float32)      # [B, C, N]
-    gx = jnp.sum(g * ddx, axis=1) * (0.5 * (w - 1))
-    gy = jnp.sum(g * ddy, axis=1) * (0.5 * (h - 1))
-    dcoords = jnp.where(finite, jnp.stack([gx, gy], axis=-1), 0.0)
-    return jnp.zeros_like(img), jnp.zeros_like(mask), dcoords
-
-
-warp_image_mask_mxu.defvjp(_mxu_fwd, _mxu_bwd)
+    return _OPS[layout](img, mask, coords)
