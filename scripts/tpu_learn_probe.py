@@ -82,11 +82,45 @@ def main():
     eval_step = build_eval_step(model)
 
     warm_step = None
+    distill_step = None
     if warmstart > 0:
         import copy
         model_gt = copy.copy(model)
         model_gt.predict_pose = gt_pose_fn
         warm_step = build_train_step(model_gt, tx, donate=False)
+
+        # phase-1 side channel: teach the pose net the scripted motion so
+        # the joint phase starts from sane pose predictions (PROBE_DISTILL)
+        if os.environ.get("PROBE_DISTILL", "1") == "1":
+            import optax
+            # decoder-only distillation at a hot lr: the x0.01 output head
+            # means the pre-scale target is ~50, so |delta param| ~ lr*steps
+            # must reach ~50-60; the encoder stays frozen (adam at such lr
+            # diverges a BN encoder)
+            d_tx = optax.adam(1e-1)
+            d_opt0 = d_tx.init(state.params)
+
+            def distill(params, stats, batch, rng_):
+                pred, _ = model.predict_pose(params["pose_net"],
+                                             stats["pose_net"], batch, False)
+                gt, _ = gt_pose_fn(None, None, batch, False)
+                return jnp.mean((pred - gt) ** 2)
+
+            @jax.jit
+            def d_step(state, d_opt, batch, rng_):
+                dl, g = jax.value_and_grad(distill)(
+                    state.params, state.batch_stats, batch, rng_)
+                # zero every gradient outside the pose decoder
+                g = jax.tree_util.tree_map(jnp.zeros_like, g) | {
+                    "pose_net": dict(
+                        jax.tree_util.tree_map(jnp.zeros_like,
+                                               g["pose_net"]),
+                        pose_decoder=g["pose_net"]["pose_decoder"])}
+                upd, d_opt = d_tx.update(g, d_opt, state.params)
+                return state._replace(
+                    params=optax.apply_updates(state.params, upd)), d_opt, dl
+
+            distill_step = (d_step, d_opt0)
 
     def evaluate(state):
         m_acc = None
@@ -112,6 +146,12 @@ def main():
             print(f"--- releasing pose net (joint) at step {i} ---",
                   flush=True)
         state, logs = step_fn(state, b, rng)
+        if distill_step is not None and i < warmstart:
+            d_step, d_opt = distill_step
+            state, d_opt, dloss = d_step(state, d_opt, b, rng)
+            distill_step = (d_step, d_opt)
+            if (i + 1) % 100 == 0:
+                print(f"    distill loss {float(dloss):.5f}", flush=True)
         if (i + 1) % 100 == 0:
             jax.block_until_ready(logs["total_loss"])
             m = evaluate(state)

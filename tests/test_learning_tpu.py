@@ -1,0 +1,74 @@
+"""Depth-learning regression on real hardware (auto-skipped off-TPU).
+
+The CI-shaped version of scripts/tpu_learn_probe.py: with the analytic
+GT pose, photometric training on the synthetic ground-plane scene must
+drive Abs.Rel down — the strongest end-to-end correctness signal without
+the real datasets. (The full-scale probe measured 0.678 -> 0.073 over 500
+steps at 192x320; this trims shapes/steps for CI. Joint training from a
+RANDOM init collapses by design of the recipe — the overlap masked-means
+vanish once warps leave the image, a degenerate minimum shared with the
+reference, which escapes it via ImageNet encoder init. See docs/PERF.md
+"Learning validation".)
+"""
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="learning regression runs on TPU hardware only")
+
+
+@pytest.mark.slow
+def test_gt_pose_training_improves_depth():
+    from vfdepth_tpu.presets import build_config
+    from vfdepth_tpu.data.synthetic_scene import SyntheticSceneDataset
+    from vfdepth_tpu.training.model import VFDepthModel
+    from vfdepth_tpu.training.step import (build_eval_step, build_train_step,
+                                           create_train_state)
+    from vfdepth_tpu.utils.metrics import compute_depth_metrics
+
+    h, w, speed = 96, 160, 0.5
+    cfg = build_config(height=h, width=w, batch_size=1, mixed_precision=True,
+                      learning_rate=2e-4, max_depth=80.0, eval_max_depth=80)
+    model = VFDepthModel(cfg)
+
+    def gt_pose(params, stats, batch, train):
+        exts, exts_inv = batch["extrinsics"], batch["extrinsics_inv"]
+        mats = []
+        for f in model.frame_ids[1:]:
+            shift = jnp.eye(4).at[0, 3].set(-f * speed)
+            mats.append(jnp.einsum("bcij,jk,bckl->bcil", exts_inv, shift,
+                                   exts))
+        return jnp.stack(mats, axis=2), stats
+
+    model.predict_pose = gt_pose
+    ds = SyntheticSceneDataset(num_samples=4, num_cams=6, height=h, width=w,
+                               fusion_level=2, speed=speed)
+    batches = [{k: jnp.asarray(v) for k, v in ds.batch([i]).items()}
+               for i in range(len(ds))]
+    rng = jax.random.PRNGKey(0)
+    state, tx = create_train_state(model, rng, batches[0],
+                                   steps_per_epoch=10_000)
+    step = build_train_step(model, tx, donate=False)
+    eval_step = build_eval_step(model)
+
+    def abs_rel(state):
+        out, _ = eval_step(state, batches[0], rng)
+        m, _, _ = compute_depth_metrics(
+            np.asarray(batches[0]["depth"]), np.asarray(out["depth/0"]),
+            np.asarray(batches[0]["mask"]), 0.5, 80.0)
+        return m["abs_rel"]
+
+    before = abs_rel(state)
+    n = int(os.environ.get("LEARN_TEST_STEPS", "150"))
+    for i in range(n):
+        state, logs = step(state, batches[i % len(batches)], rng)
+    jax.block_until_ready(logs["total_loss"])
+    after = abs_rel(state)
+    assert np.isfinite(after)
+    # 0.678 -> ~0.25 at 150 steps full-res; demand a robust 30% improvement
+    assert after < 0.7 * before, f"abs_rel did not improve: {before} -> {after}"
