@@ -110,8 +110,8 @@ def _wy_band(iy0, ty, o_kw, tile, w, h, sb, transpose=False):
             + row1.astype(jnp.bfloat16) * ty)
 
 
-def _fwd_kernel(h: int, w: int, sb: int, with_mask: bool, img_ref,
-                coords_ref, *rest):
+def _fwd_kernel(h: int, w: int, sb: int, with_mask: bool, n_valid: int,
+                img_ref, coords_ref, *rest):
     """img (bf16) [h*w, C]; coords [BLOCK_N, 2]; out [BLOCK_N, C(+1)].
 
     with_mask: an extra input mask2d (bf16) [h_pad, w] is NEAREST-sampled
@@ -124,10 +124,19 @@ def _fwd_kernel(h: int, w: int, sb: int, with_mask: bool, img_ref,
         (out_ref,) = rest
     c = out_ref.shape[-1] - (1 if with_mask else 0)
 
+    blk = pl.program_id(1)
+
     def body(k, _):
         sl = pl.ds(k * _TILE_N, _TILE_N)
         coords = coords_ref[sl, :]
         ohx, ohx_n, iy0, ty, fy32, lat, n_seg = _pix_taps(coords, h, w, sb)
+        # zero the rows past the true point count (the grid need not divide
+        # n; the partial last block reads undefined coords there)
+        row = (jax.lax.broadcasted_iota(jnp.int32, (_TILE_N, 1), 0)
+               + blk * _BLOCK_N + k * _TILE_N)
+        ok = (row < n_valid).astype(ohx.dtype)
+        ohx = ohx * ok
+        ohx_n = ohx_n * ok
         ohx_full = pltpu.repeat(ohx, sb, axis=1)       # [tile, sb*w]
         if with_mask:
             big = jnp.int32(1 << 24)
@@ -167,8 +176,8 @@ def _fwd_kernel(h: int, w: int, sb: int, with_mask: bool, img_ref,
     jax.lax.fori_loop(0, _SUPER, body, 0)
 
 
-def _bwd_kernel(h: int, w: int, sb: int, g_ref, coords_ref, out_ref,
-                acc_ref):
+def _bwd_kernel(h: int, w: int, sb: int, n_valid: int, g_ref, coords_ref,
+                out_ref, acc_ref):
     """g [BLOCK_N, C]; out (bf16) [h*w, C]; acc (f32 scratch) [h*w, C].
 
     The accumulator lives in single-buffered scratch (persists across the
@@ -183,12 +192,20 @@ def _bwd_kernel(h: int, w: int, sb: int, g_ref, coords_ref, out_ref,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
+    blk = pl.program_id(1)
+
     def body(k, _):
         sl = pl.ds(k * _TILE_N, _TILE_N)
         coords = coords_ref[sl, :]
         ohx, _, iy0, ty, _, lat, n_seg = _pix_taps(coords, h, w, sb)
+        row = (jax.lax.broadcasted_iota(jnp.int32, (_TILE_N, 1), 0)
+               + blk * _BLOCK_N + k * _TILE_N)
+        ok = (row < n_valid)
+        ohx = ohx * ok.astype(ohx.dtype)
         ohx_t_full = pltpu.repeat(ohx.T, sb, axis=0)   # [sb*w, tile]
-        g = g_ref[sl, :]
+        # the undefined tail rows of g can be NaN: 0-weight x NaN = NaN in
+        # the dot, so zero them explicitly as well
+        g = jnp.where(ok, g_ref[sl, :], 0)
 
         def seg(s, _):
             o_kw = pl.multiple_of((lat + s * sb) * w, sb * w)
@@ -208,15 +225,6 @@ def _bwd_kernel(h: int, w: int, sb: int, g_ref, coords_ref, out_ref,
         out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
-def _pad_pts(x: jnp.ndarray):
-    n = x.shape[1]
-    pad = (-n) % _BLOCK_N
-    if pad:
-        # pad with -2 (out of range -> zero weights), not 0 (a valid coord)
-        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)), constant_values=-2.0)
-    return x, n
-
-
 def _pad_rows(h: int) -> int:
     return -(-h // _band_rows(h)) * _band_rows(h)
 
@@ -226,8 +234,8 @@ def _fwd_call(img_flat: jnp.ndarray, coords: jnp.ndarray, h: int, w: int,
     """img_flat [B, h*w, C]; coords [B, N, 2]; optional mask2d [B, h, w]
     -> [B, N, C (+1 nearest-sampled mask channel)]."""
     b, hw, c = img_flat.shape
-    coords_p, n = _pad_pts(coords)
-    n_tiles = coords_p.shape[1] // _BLOCK_N
+    n = coords.shape[1]
+    n_tiles = -(-n // _BLOCK_N)      # grid need not divide n (tail masked)
     with_mask = mask2d is not None
 
     # pad source rows to the band lattice (taps >= h are sentinel-dead,
@@ -244,7 +252,7 @@ def _fwd_call(img_flat: jnp.ndarray, coords: jnp.ndarray, h: int, w: int,
         pl.BlockSpec((None, _BLOCK_N, 2), lambda i, j: (i, j, 0),
                      memory_space=pltpu.VMEM),
     ]
-    args = [img_flat, coords_p]
+    args = [img_flat, coords]
     if with_mask:
         hr = _pad_rows(h)
         if hr != h:
@@ -253,32 +261,26 @@ def _fwd_call(img_flat: jnp.ndarray, coords: jnp.ndarray, h: int, w: int,
         in_specs.append(pl.BlockSpec((None, hr, w), lambda i, j: (i, 0, 0),
                                      memory_space=pltpu.VMEM))
     co = c + (1 if with_mask else 0)
-    out = pl.pallas_call(
-        functools.partial(_fwd_kernel, h, w, _band_rows(h), with_mask),
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, h, w, _band_rows(h), with_mask, n),
         grid=(b, n_tiles),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((None, _BLOCK_N, co), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, coords_p.shape[1], co),
-                                       jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((b, n, co), jnp.bfloat16),
         interpret=(jax.default_backend() != "tpu"),
     )(*args)
-    return out[:, :n]
 
 
 def _bwd_call(g: jnp.ndarray, coords: jnp.ndarray, h: int, w: int):
     """g [B, N, C] -> dimg_flat [B, h*w, C]."""
     b, n, c = g.shape
-    pad = (-n) % _BLOCK_N
-    if pad:
-        g = jnp.pad(g, ((0, 0), (0, pad), (0, 0)))
-    coords_p, _ = _pad_pts(coords)
-    n_tiles = coords_p.shape[1] // _BLOCK_N
+    n_tiles = -(-n // _BLOCK_N)      # grid need not divide n (tail masked)
 
     g = g.astype(jnp.bfloat16)  # halves the VMEM block (accumulator stays f32)
     hp = _pad_rows(h) * w
     out = pl.pallas_call(
-        functools.partial(_bwd_kernel, h, w, _band_rows(h)),
+        functools.partial(_bwd_kernel, h, w, _band_rows(h), n),
         grid=(b, n_tiles),
         in_specs=[
             pl.BlockSpec((None, _BLOCK_N, c), lambda i, j: (i, j, 0),
@@ -291,7 +293,7 @@ def _bwd_call(g: jnp.ndarray, coords: jnp.ndarray, h: int, w: int):
         out_shape=jax.ShapeDtypeStruct((b, hp, c), jnp.bfloat16),
         scratch_shapes=[pltpu.VMEM((hp, c), jnp.float32)],
         interpret=(jax.default_backend() != "tpu"),
-    )(g, coords_p)
+    )(g, coords)
     return out[:, :h * w]
 
 
