@@ -21,14 +21,17 @@ from ..utils.visualize import aug_depth_params
 
 def synthesize_sweep(model, params, stats, batch, n_steps: int = 75,
                      max_views: int | None = None,
-                     chunk: int = 16) -> List[np.ndarray]:
+                     chunk: int = 1) -> List[np.ndarray]:
     """Returns a list of [b, H', W', 1] disparities, one per sweep view.
 
     ``max_views`` caps the sweep (testing / quick previews); None renders
-    the full ~788-view scripted trajectory. Views are decoded in vmapped
-    chunks of ``chunk`` — one device dispatch per chunk instead of one per
-    view (the reference's per-view Python loop round-trips host<->device
-    ~788 times, volumetric_fusionnet.py:320-335)."""
+    the full ~788-view scripted trajectory. Views are decoded in lax.map
+    chunks of ``chunk``. Measured (v5e, DDAD shapes): chunk=1 runs the 767
+    views in 95 s (124 ms/view, dominated by per-dispatch latency through
+    the remote tunnel); chunk=16 is SLOWER (158 ms/view) because the 3D
+    sampler's oct build inside the loop body is not hoisted — so the
+    default stays 1. (The reference's per-view Python loop round-trips
+    host<->device ~788 times, volumetric_fusionnet.py:320-335.)"""
     net = model.depth_net
     assert isinstance(net, FusedDepthNet), "sweep requires the fusion depth net"
     variables = {"params": params["depth_net"],
@@ -38,10 +41,14 @@ def synthesize_sweep(model, params, stats, batch, n_steps: int = 75,
 
     fuse = jax.jit(lambda v, img, m, kk, ei: net.apply(
         v, img, m, kk, ei, method=FusedDepthNet.fuse_voxel))
-    decode_chunk = jax.jit(lambda v, vf, iks, rots, ext: jax.vmap(
-        lambda ik, rot: net.apply(v, vf, ik, rot, ext,
-                                  method=FusedDepthNet.decode_view)
-    )(iks, rots))
+    # lax.map (not vmap): one device dispatch per chunk with a compiled
+    # per-view body — the vmapped chunk multiplies the program size by
+    # ``chunk`` and can exceed what the TPU compiler handles for the
+    # full-resolution decoder
+    decode_chunk = jax.jit(lambda v, vf, iks, rots, ext: jax.lax.map(
+        lambda ir: net.apply(v, vf, ir[0], ir[1], ext,
+                             method=FusedDepthNet.decode_view),
+        (iks, rots)))
 
     voxel_feat = fuse(variables, batch["color_aug/0/0"], batch["mask"],
                       batch[f"K/{lev + 1}"], batch["extrinsics_inv"])
