@@ -13,5 +13,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# VFDEPTH_TEST_TPU=1 keeps the real TPU backend (for the hardware-marked
+# tests, e.g. tests/test_learning_tpu.py); default pins CPU for the suite.
+if os.environ.get("VFDEPTH_TEST_TPU", "0") != "1":
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
