@@ -102,7 +102,29 @@ def run_bench(batch_size, height, width, n_steps, use_bf16):
             float(prev)
         prev = logs["total_loss"]
     float(prev)
-    return (time.time() - t0) / n_steps
+    dt = (time.time() - t0) / n_steps
+
+    if "--profile" in sys.argv:
+        # per-op device-time table + MFU estimate, appended to docs/PERF.md
+        # (VERDICT r2 item 7: make the "irreducible wall" claim auditable)
+        logdir = "/tmp/vfdepth_bench_profile"
+        os.system(f"rm -rf {logdir}")
+        trace_steps = 3
+        jax.profiler.start_trace(logdir, create_perfetto_trace=True)
+        for _ in range(trace_steps):
+            state, logs = train_step(state, batch, rng)
+        jax.block_until_ready(logs["total_loss"])
+        jax.profiler.stop_trace()
+        from vfdepth_tpu.utils.trace_analysis import summarize
+        # analytic step FLOPs: BASELINE.md accounting (~0.7 TFLOP fwd x3)
+        table = summarize(logdir, trace_steps,
+                          flops_per_step=2.1e12 * batch_size)
+        print(table, file=sys.stderr)
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "docs", "PERF.md"), "a") as f:
+            f.write(f"\n## bench.py --profile ({time.strftime('%Y-%m-%d')}, "
+                    f"{dt * 1e3:.0f} ms/step)\n\n```\n{table}\n```\n")
+    return dt
 
 
 def main():

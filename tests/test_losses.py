@@ -91,3 +91,49 @@ def test_mean_normalized_disp():
     got = np.asarray(mean_normalized_disp(jnp.asarray(disp)))
     want = disp / (disp.mean(axis=(1, 2), keepdims=True) + 1e-8)
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_cold_start_overlap_ramp():
+    """Staged cold-start schedule (VERDICT r2 #2): before
+    `cold_start_warmup_steps` the overlap (spatio/spatio-temporal)
+    coefficients are zero — the loss equals the temporal-only recipe —
+    then they fade in linearly over `cold_start_ramp_steps` to the full
+    reference coefficients."""
+    from tests.test_train_integration import micro_config, _batch
+    from vfdepth_tpu.training.model import VFDepthModel
+
+    cfg = micro_config()
+    cfg.set("cold_start_warmup_steps", 10, section="training")
+    cfg.set("cold_start_ramp_steps", 10, section="training")
+    model = VFDepthModel(cfg)
+    batch = _batch(cfg)
+    rng = jax.random.PRNGKey(0)
+    params, stats = model.init(rng, batch)
+
+    def loss_at(m, step):
+        _, (loss, logs), _ = m.forward(params, stats, batch, rng, train=True,
+                                       step=jnp.asarray(step, jnp.int32))
+        return float(loss), {k: float(v) for k, v in logs.items()
+                             if hasattr(v, "ndim") and v.ndim == 0}
+
+    l0, logs0 = loss_at(model, 0)
+    l_mid, logs_mid = loss_at(model, 15)
+    l_full, logs_full = loss_at(model, 20)
+    assert logs0["overlap_ramp"] == 0.0
+    assert abs(logs_mid["overlap_ramp"] - 0.5) < 1e-6
+    assert logs_full["overlap_ramp"] == 1.0
+
+    # step 0 loss == the same model with overlap coefficients hard-zeroed
+    zcfg = micro_config()
+    zcfg.set("spatio_coeff", 0.0)
+    zcfg.set("spatio_tempo_coeff", 0.0)
+    zero = VFDepthModel(zcfg)
+    l_zero, _ = loss_at(zero, 0)
+    np.testing.assert_allclose(l0, l_zero, rtol=1e-6)
+
+    # fully ramped == the unscheduled reference loss
+    ref = VFDepthModel(micro_config())
+    l_ref, _ = loss_at(ref, 0)
+    np.testing.assert_allclose(l_full, l_ref, rtol=1e-6)
+    # the ramp actually moves the total
+    assert l0 != l_full

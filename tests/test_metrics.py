@@ -49,6 +49,25 @@ def test_compute_depth_metrics_masking():
     assert metric["abs_rel"] < 1e-6
 
 
+def test_compute_depth_metrics_empty_camera_not_deflating():
+    """A camera with no valid GT must not shade the average toward zero —
+    metrics average over cameras WITH valid GT only (reference failure
+    semantics: torch.median on an empty tensor is loudly wrong, never a
+    silent zero contribution)."""
+    b, h, w = 1, 8, 8
+    gt = np.full((b, 2, h, w, 1), 10.0, np.float32)
+    gt[:, 1] = 0.0  # camera 1: no valid GT at all
+    pred = np.full_like(gt, 20.0)  # 2x off -> abs_rel 1.0 on camera 0
+    occ = np.ones_like(gt)
+    metric, median, scales = compute_depth_metrics(gt, pred, occ, 0.5, 200.0)
+    assert abs(metric["abs_rel"] - 1.0) < 1e-6  # not halved by the empty cam
+    assert np.isnan(scales[1]) and not np.isnan(scales[0])
+    # zero valid cameras -> loud NaN, never a quiet number
+    gt[:] = 0.0
+    metric, median, _ = compute_depth_metrics(gt, pred, occ, 0.5, 200.0)
+    assert np.isnan(metric["abs_rel"]) and np.isnan(median["abs_rel"])
+
+
 def test_pretty_ts():
     assert pretty_ts(3723) == "01h02m03s"
 

@@ -90,3 +90,46 @@ def test_pallas_masked_sampler_matches_separate_ops():
     gi_ref = jax.grad(loss_plain)(img)
     np.testing.assert_allclose(np.asarray(gi), np.asarray(gi_ref), atol=1e-5)
     assert float(jnp.max(jnp.abs(gm))) == 0.0
+
+
+def test_backproject_fused_epilogue():
+    """sample_backproject_pallas = [feat * valid, rel * valid, valid] with
+    valid = nearest mask > 0.5 — the kernel-side fold of the
+    back-projection's per-point epilogue. Values and gradients must equal
+    the unfused composition."""
+    from vfdepth_tpu.ops.pallas_sample import sample_backproject_pallas
+
+    rng = np.random.RandomState(7)
+    b, h, w, c, n = 2, 32, 80, 8, 2000
+    img = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    mask = jnp.asarray((rng.rand(b, h, w, 1) > 0.3).astype(np.float32))
+    coords = rng.uniform(-1.2, 1.2, (b, n, 2)).astype(np.float32)
+    coords[:, -300:] = -3.0       # sanitized (invalid) points
+    coords = jnp.asarray(coords)
+    rel = jnp.asarray(rng.randn(b, n).astype(np.float32))
+
+    out = sample_backproject_pallas(img, mask, coords, rel)
+    assert out.shape == (b, n, c + 2)
+    feat_ref = sample_bilinear_pallas(img, coords)
+    m_ref = grid_sample_2d(mask, coords, mode="nearest")[..., 0]
+    valid_ref = (np.asarray(m_ref) > 0.5).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(out[..., -1]), valid_ref, atol=0)
+    np.testing.assert_allclose(
+        np.asarray(out[..., :c]),
+        np.asarray(feat_ref) * valid_ref[..., None], atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out[..., c]),
+        np.asarray(rel).astype(np.float32) * valid_ref, atol=1e-2)
+
+    # image gradient: masked rows contribute nothing
+    def loss_fused(i):
+        return jnp.sum(sample_backproject_pallas(
+            i, mask, coords, rel)[..., :c].astype(jnp.float32) ** 2)
+
+    def loss_ref(i):
+        s = sample_bilinear_pallas(i, coords)
+        return jnp.sum((s * jnp.asarray(valid_ref)[..., None]) ** 2)
+
+    gi = jax.grad(loss_fused)(img)
+    gi_ref = jax.grad(loss_ref)(img)
+    np.testing.assert_allclose(np.asarray(gi), np.asarray(gi_ref), atol=1e-4)

@@ -273,13 +273,21 @@ def test_multihost_two_process_train_step():
         assert p.returncode == 0, f"dist proc failed:\n{out[-3000:]}"
     losses = [float(re.search(r"LOSS ([-\d.]+)", out).group(1)) for out in outs]
     assert losses[0] == losses[1]
+    # the full Trainer loop (pod _build_step + pod-safe panel skip) completed
+    for out in outs:
+        assert "TRAINER_OK" in out, f"trainer loop failed:\n{out[-3000:]}"
 
-    # single-process reference: global batch 2, same samples, same key
+    # single-process reference: global batch 2, same samples in the same
+    # (shuffled, host-invariant) order as the 2-process run, same key
     # (fsm nets: the test exercises the distribution glue, not the model,
     # and the mono nets compile ~5x faster)
     cfg = micro_config(depth_model="fsm", pose_model="fsm")
     model = VFDepthModel(cfg)
-    batch = _batch(cfg, batch_size=2)
+    ds = FakeDataset(num_samples=2, num_cams=cfg.num_cams, height=cfg.height,
+                     width=cfg.width, fusion_level=cfg.fusion_level)
+    perm = np.random.RandomState(42).permutation(2)
+    batch = {k: jnp.asarray(v)
+             for k, v in ds.batch([int(i) for i in perm]).items()}
     rng = jax.random.PRNGKey(0)
     state, tx = create_train_state(model, rng, batch, steps_per_epoch=10)
     step = build_train_step(model, tx, donate=False)

@@ -158,3 +158,85 @@ def test_undersized_window_sets_overflow():
     tiny = ((8, 64), (8, 64))
     win = _windows(s, spatio_hw=tiny, st_hw=tiny)
     assert float(win.overflow) > 0.0
+
+
+def _rig_b(height=64, width=96):
+    """A second rig with a wider camera ring and wider FOV than the
+    FakeDataset default — its warps need bigger windows."""
+    from vfdepth_tpu.data.fake import make_rig_extrinsics
+    k = np.eye(4, dtype=np.float32)
+    k[0, 0] = 0.35 * width
+    k[1, 1] = 0.35 * width
+    k[0, 2] = width / 2.0
+    k[1, 2] = height / 2.0
+    return (np.tile(k, (CAMS, 1, 1)),
+            make_rig_extrinsics(CAMS, radius=3.0))
+
+
+def test_multi_rig_sizing_covers_all_rigs():
+    """Window sizing must cover the dataset's calibration SPREAD (VERDICT
+    r2 #5): sized over rig A plus rig B, every static box must be at least
+    as large (per slot, per dim) as either rig alone demands — windows
+    sized on scene A's rig must not truncate scene B's warps. The FakeDataset
+    ring rig yields near-full boxes (the 640px-wide real-DDAD rig is where
+    windows pay), so the no-area-cap sizing helper is asserted directly;
+    ``configure_warp_window`` plumbing is covered below and in
+    test_train_integration."""
+    from vfdepth_tpu.geometry.warp_window import estimate_window_hw_multi
+    from vfdepth_tpu.presets import tiny_config
+    from vfdepth_tpu.training.model import VFDepthModel
+
+    # larger canvas so per-rig boxes are not clipped to the image
+    h, w = 384, 640
+    ds = FakeDataset(num_samples=1, num_cams=CAMS, height=h, width=w)
+    rig_a = (ds.k_full, ds.extrinsics)
+    rig_b = _rig_b(h, w)
+    rel = _rel_cam()
+
+    def sized(rigs):
+        return estimate_window_hw_multi(
+            rigs, np.maximum(rel, 0), rel >= 0, h, w,
+            MIN_D, MAX_D, FSCALE, with_motion=False)
+
+    hw_a = sized([rig_a])
+    hw_b = sized([rig_b])
+    hw_ab = sized([rig_a, rig_b])
+    assert hw_a != hw_b, "rigs must actually size differently"
+    for slot in range(2):      # near, pole
+        for dim in range(2):   # h, w
+            need = max(hw_a[slot][dim], hw_b[slot][dim])
+            assert hw_ab[slot][dim] >= need, (slot, dim, hw_ab, hw_a, hw_b)
+
+    # plumbing: configure_warp_window consumes batch rigs + extra rigs and
+    # dedupes; with the ring rig everything lands in the dense fallback
+    # without error
+    cfg = tiny_config(height=h, width=w)
+    m = VFDepthModel(cfg)
+    m.warp_window = True
+    batch = ds.batch([0])
+    m.configure_warp_window(batch, rigs=[rig_b, rig_a])
+    assert (m.warp_window is False) or (m.warp_window_hw is not None)
+
+
+def test_trainer_overflow_fallback(tmp_path):
+    """Persistent runtime warp-window overflow must disable the windows and
+    request a dense recompile (VERDICT r2 #5: react, don't just log)."""
+    from vfdepth_tpu.presets import micro_config
+    from vfdepth_tpu.training.model import VFDepthModel
+    from vfdepth_tpu.training.trainer import Trainer
+
+    cfg = micro_config()
+    cfg.set("log_path", str(tmp_path / "log"))
+    model = VFDepthModel(cfg)
+    model.warp_window = True
+    model.warp_window_hw = (((8, 64), (8, 64)), ((8, 64), (8, 64)))
+    tr = Trainer(cfg, model, use_tb=False)
+
+    assert not tr._note_warp_overflow(0.0)
+    assert not tr._note_warp_overflow(3.0)   # strike 1: warn only
+    assert model.warp_window
+    assert not tr._note_warp_overflow(0.0)   # clean checkpoint resets
+    assert not tr._note_warp_overflow(2.0)   # strike 1 again
+    assert tr._note_warp_overflow(5.0)       # consecutive strike 2 -> dense
+    assert model.warp_window is False and model.warp_window_hw is None
+    assert not tr._note_warp_overflow(4.0)   # already dense: no rebuild loop

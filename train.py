@@ -26,8 +26,7 @@ def train(cfg, max_steps=None):
     from vfdepth_tpu.data.factory import construct_dataset
     from vfdepth_tpu.data.loader import BatchLoader
     from vfdepth_tpu.parallel.distributed import (
-        is_main_process, loader_shard, maybe_initialize_distributed,
-        per_process_seed)
+        is_main_process, loader_shard, maybe_initialize_distributed)
     from vfdepth_tpu.training.model import VFDepthModel
     from vfdepth_tpu.training.trainer import Trainer
 
@@ -40,9 +39,16 @@ def train(cfg, max_steps=None):
     model = VFDepthModel(cfg)
 
     train_ds = construct_dataset(cfg, "train")
+    # The shuffle seed must be HOST-INVARIANT: every process draws the same
+    # per-epoch permutation and takes its own contiguous slice, so the
+    # shards partition the epoch disjointly — the reference's
+    # DistributedSampler + set_epoch semantics (models/vfdepth.py:117-125).
+    # Per-sample augmentation randomness is independent of this: datasets
+    # fold (seed, epoch, sample_idx) into their jitter RNG, so disjoint
+    # shards already get distinct augmentation without per-process seeds.
     train_loader = BatchLoader(train_ds, cfg.batch_size, shuffle=True,
                                num_workers=cfg.get("num_workers", 2),
-                               seed=per_process_seed(42),
+                               seed=42,
                                shard_index=shard_index, num_shards=num_shards)
     # every process constructs the (identical, unsharded) val loader: the
     # validation step is part of the SPMD program and must run on all hosts;

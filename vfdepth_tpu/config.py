@@ -168,4 +168,13 @@ def get_config(path: str, mode: str = "train", weight_path: Optional[str] = None
     tpu.setdefault("warp_op", "auto")          # auto | mxu | quad
     tpu.setdefault("warp_window", True)        # windowed spatio/st warps (quad)
     tpu.setdefault("warp_window_hw", None)     # [h, w] override (None = auto)
+    # Staged cold-start recipe for training WITHOUT pretrained encoders
+    # (losses/composite.py LossConfig): temporal-only photometric warmup for
+    # `cold_start_warmup_steps`, then the spatio/spatio-temporal overlap
+    # coefficients fade in linearly over `cold_start_ramp_steps`. Both 0
+    # (default) = the reference schedule (full coefficients from step 0,
+    # which relies on ImageNet init to escape the depth-saturation minimum).
+    tr = data["training"]
+    tr.setdefault("cold_start_warmup_steps", 0)
+    tr.setdefault("cold_start_ramp_steps", 0)
     return Config(data)

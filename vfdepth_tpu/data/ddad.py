@@ -211,6 +211,37 @@ class DDADDataset:
         DistributedSampler.set_epoch)."""
         self.epoch = int(epoch)
 
+    def rig_calibrations(self, max_rigs: int = 16):
+        """Per-scene rig calibrations for static warp-window sizing:
+        up to ``max_rigs`` scenes spread over the split, each as
+        ``(K [cams,4,4] scaled to the train resolution, extrinsics
+        [cams,4,4])``. Loads calibration JSONs and one image *header* per
+        scene (PIL reads only the size) — no pixel decode."""
+        out = []
+        n = len(self.scenes)
+        if n == 0:
+            return out
+        picks = sorted({int(i * n / min(max_rigs, n))
+                        for i in range(min(max_rigs, n))})
+        for si in picks:
+            scene = self.scenes[si]
+            # first indexed sample of this scene (guaranteed all cams)
+            t = next((tt for ss, tt in self.index if ss == si), None)
+            if t is None:
+                continue
+            calib = scene.calibration(scene.calibration_keys[t])
+            _, path = scene.datum_filename(scene.samples[t][self.cameras[0]])
+            from PIL import Image
+            with Image.open(path) as im:
+                raw_w, raw_h = im.size
+            k = np.stack([calib[cam][0] for cam in self.cameras]).astype(
+                np.float64).copy()
+            k[:, 0, :] *= self.width / raw_w
+            k[:, 1, :] *= self.height / raw_h
+            ext = np.stack([calib[cam][1] for cam in self.cameras])
+            out.append((k.astype(np.float32), ext.astype(np.float32)))
+        return out
+
     def __len__(self) -> int:
         return len(self.index)
 

@@ -65,6 +65,10 @@ class FakeDataset:
     def __len__(self) -> int:
         return self.num_samples
 
+    def rig_calibrations(self, max_rigs: int = 16):
+        """Single synthetic rig, already at the train resolution."""
+        return [(self.k_full.copy(), self.extrinsics.copy())]
+
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         rng = np.random.RandomState(self.seed * 100003 + idx)
         c, h, w = self.num_cams, self.height, self.width

@@ -130,6 +130,38 @@ class NuScenesDataset:
     def __len__(self) -> int:
         return len(self.index)
 
+    def rig_calibrations(self, max_rigs: int = 16):
+        """Distinct rig calibrations for static warp-window sizing: up to
+        ``max_rigs`` samples spread over the split, each ``(K [cams,4,4]
+        scaled to the train resolution, extrinsics [cams,4,4])``. Uses the
+        sample_data width/height fields — no image IO."""
+        out, seen = [], set()
+        n = len(self.index)
+        if n == 0:
+            return out
+        picks = sorted({int(i * n / min(max_rigs, n))
+                        for i in range(min(max_rigs, n))})
+        for idx in picks:
+            kf = self.keyframes[self.index[idx]]
+            ks, exts = [], []
+            for cam in self.cameras:
+                sd = self.sample_data[kf[cam]]
+                k, ext = self._cam_matrices(kf[cam])
+                raw_w = float(sd.get("width") or self.width)
+                raw_h = float(sd.get("height") or self.height)
+                k = k.copy()
+                k[0, :] *= self.width / raw_w
+                k[1, :] *= self.height / raw_h
+                ks.append(k)
+                exts.append(ext)
+            k = np.stack(ks).astype(np.float32)
+            ext = np.stack(exts).astype(np.float32)
+            key = (k[:, :2].round(4).tobytes(), ext[:, :3].round(5).tobytes())
+            if key not in seen:
+                seen.add(key)
+                out.append((k, ext))
+        return out
+
     # ------------------------------------------------------------------
     def _context_token(self, token: str, f: int) -> str:
         """Neighbor sweep token (val mode reuses the current frame)."""

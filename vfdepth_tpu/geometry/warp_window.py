@@ -303,3 +303,30 @@ def estimate_window_hw(
         box_w = min(_round_up(best[slot][1] + margin, 64), width)
         out.append((box_h, box_w))
     return out[0], out[1]
+
+
+def estimate_window_hw_multi(
+    rigs: Sequence[Tuple[np.ndarray, np.ndarray]],  # [(K, extrinsics), ...]
+    rel_idx: np.ndarray,
+    nbr_valid: np.ndarray,
+    height: int,
+    width: int,
+    min_depth: float,
+    max_depth: float,
+    focal_length_scale: float,
+    with_motion: bool = True,
+) -> Tuple[Tuple[int, int], Tuple[int, int]]:
+    """Static window size covering EVERY rig in ``rigs``: the elementwise
+    max of ``estimate_window_hw`` over them. DDAD calibration varies per
+    scene; windows must be sized for the dataset's spread, not one batch's
+    rig, or scene A's boxes can truncate scene B's warps."""
+    hw = None
+    for k, ext in rigs:
+        k = np.asarray(k, dtype=np.float64)
+        one = estimate_window_hw(
+            k, np.linalg.inv(k), np.asarray(ext), rel_idx, nbr_valid,
+            height, width, min_depth, max_depth, focal_length_scale,
+            with_motion=with_motion)
+        hw = one if hw is None else tuple(
+            (max(a[0], b[0]), max(a[1], b[1])) for a, b in zip(hw, one))
+    return hw

@@ -49,6 +49,16 @@ class LossConfig(NamedTuple):
     spatio_temporal: bool = True
     aug_depth: bool = False
     pose_model: str = "fusion"
+    # Staged cold-start recipe (off when both are 0): the overlap losses are
+    # masked means that vanish once warps leave the image, so joint training
+    # from a random init can kill them by saturating depth — a degenerate
+    # minimum shared with the reference, which escapes it via ImageNet
+    # encoder init (network/fusion_depthnet.py:25-34). Without pretrained
+    # weights, train temporal-only (monodepth2-style, converges from
+    # scratch) for `warmup_steps`, then fade the spatio/spatio-temporal
+    # coefficients in linearly over `ramp_steps`.
+    warmup_steps: int = 0
+    ramp_steps: int = 0
 
 
 def reprojection_loss(
@@ -168,17 +178,31 @@ def total_loss(
     rendered: Dict[int, "RenderOutputs"],   # scale -> RenderOutputs
     disps_aug: Optional[Dict[int, jnp.ndarray]] = None,
     depths_aug: Optional[Dict[int, jnp.ndarray]] = None,
+    step: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Aggregate the full training loss. Returns (scalar, logs dict).
 
     Per-scale per-camera terms are averaged over scales then cameras,
     mirroring the reference accumulation order
     (single_cam_loss.py:69-94, models/vfdepth.py:290-313).
+
+    ``step`` (traced scalar) drives the cold-start overlap-coefficient ramp
+    when ``cfg.warmup_steps``/``cfg.ramp_steps`` are set; None (eval) or an
+    all-zero schedule means full coefficients.
     """
     ctx_ids = list(cfg.frame_ids[1:])
     target = batch["color/0/0"]
     ref_mask = batch["mask"]
     context = jnp.stack([batch[f"color/{f}/0"] for f in ctx_ids], axis=2)
+
+    ramp = None
+    if (cfg.warmup_steps or cfg.ramp_steps) and step is not None:
+        ramp = jnp.clip(
+            (step.astype(jnp.float32) - float(cfg.warmup_steps))
+            / float(max(cfg.ramp_steps, 1)), 0.0, 1.0).astype(target.dtype)
+    sp_coeff = cfg.spatio_coeff if ramp is None else cfg.spatio_coeff * ramp
+    st_coeff = (cfg.spatio_tempo_coeff if ramp is None
+                else cfg.spatio_tempo_coeff * ramp)
 
     cam_loss = jnp.zeros((target.shape[1],), dtype=target.dtype)
     logs: Dict[str, jnp.ndarray] = {}
@@ -199,10 +223,12 @@ def total_loss(
             st = spatio_tempo_loss_fn(
                 target, r.overlap_img[:, :, 1:], r.overlap_mask[:, :, 1:],
                 ref_mask, amask)
-            scale_loss = scale_loss + cfg.spatio_coeff * sp + cfg.spatio_tempo_coeff * st
+            scale_loss = scale_loss + sp_coeff * sp + st_coeff * st
             if scale == 0:
                 logs["spatio_loss"] = sp.mean()
                 logs["spatio_tempo_loss"] = st.mean()
+                if ramp is not None:
+                    logs["overlap_ramp"] = ramp
 
         if cfg.pose_model == "fsm" and cfg.pose_loss_coeff > 0:
             pose_l = pose_consistency_loss(

@@ -187,16 +187,24 @@ class FusedPoseNet(nn.Module):
     @nn.compact
     def __call__(
         self,
-        cur_images: jnp.ndarray,      # [b, cams, H, W, 3]
-        next_images: jnp.ndarray,     # [b, cams, H, W, 3]
-        mask: jnp.ndarray,
+        cur_images: jnp.ndarray,      # [n_ctx*b, cams, H, W, 3]
+        next_images: jnp.ndarray,     # [n_ctx*b, cams, H, W, 3]
+        mask: jnp.ndarray,            # [b, ...] (NOT tiled over n_ctx)
         intrinsics: jnp.ndarray,
         inv_k: jnp.ndarray,
         extrinsics: jnp.ndarray,
         extrinsics_inv: jnp.ndarray,
         train: bool = True,
+        n_ctx: int = 1,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        b, cams = cur_images.shape[:2]
+        """With ``n_ctx > 1``, the image args stack that many context pairs
+        group-major along batch while mask/calibration stay at the true
+        batch size: every pair shares the rig calibration, so the VFNet
+        back-projection samples all pairs through one kernel pass
+        (frame-group channel merge — see ``VFNet.__call__``). Outputs stay
+        group-major ``[n_ctx*b, ...]``, identical to n_ctx separate calls."""
+        gb, cams = cur_images.shape[:2]
+        b = gb // n_ctx
         lev = self.fusion_level
 
         pair = jnp.concatenate([cur_images, next_images], axis=-1)  # 6 channels
@@ -211,7 +219,14 @@ class FusedPoseNet(nn.Module):
         agg = jnp.concatenate(agg, axis=-1)
         agg = ConvBlock(self.fusion_feat_in_dim, kernel_size=1,
                         dtype=self.dtype, name="conv1x1")(agg, train)
-        feats_agg = unpack_cam_feat(agg, b, cams)
+        feats_agg = unpack_cam_feat(agg, gb, cams)
+        if n_ctx > 1:
+            # group-major batch -> channel groups for the shared-coordinate
+            # back-projection: [G*b, cams, h, w, C] -> [b, cams, h, w, G*C]
+            c = feats_agg.shape[-1]
+            f = feats_agg.reshape((n_ctx, b) + feats_agg.shape[1:])
+            f = jnp.moveaxis(f, 0, -2)
+            feats_agg = f.reshape(f.shape[:-2] + (n_ctx * c,))
 
         bev = VFNet(
             feat_in_dim=self.fusion_feat_in_dim,
@@ -232,7 +247,7 @@ class FusedPoseNet(nn.Module):
             sampler_3d=self.sampler_3d,
             name="fusion_net",
         )(feats_agg, mask, intrinsics, inv_k, extrinsics, extrinsics_inv,
-          train=train)["bev_feat"]
+          train=train, frame_groups=n_ctx)["bev_feat"]
 
         axisangle, translation = PoseDecoder(
             num_frames_to_predict_for=1, stride=2, dtype=self.dtype,

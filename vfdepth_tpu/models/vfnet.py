@@ -144,6 +144,14 @@ class VFNet(nn.Module):
         mask_lowres = resize_bilinear(mask, (h_dim, w_dim), align_corners=True)
         in_front = v_local[..., 2, :] > 0
         in_bounds = jnp.all((pix >= -1.0) & (pix <= 1.0), axis=-1)
+        # Sanitize coords of points that `valid` zeroes anyway (behind-camera
+        # mirror projections land IN-image and out-of-bounds points still
+        # have live border taps): their sampled value is multiplied by 0 and
+        # their incoming gradient is 0, so pushing them out of tap range is
+        # exact — and it is what lets the banded Pallas kernel's live-tap
+        # span (and its zero-iteration skip) see only true in-FOV points
+        # (~2.3x fewer MACs on the DDAD rig).
+        pix = jnp.where((in_front & in_bounds)[..., None], pix, -3.0)
 
         # feature sampling: Pallas one-hot-matmul kernel on TPU (the XLA
         # gather/scatter pair costs ~180 ms fwd+bwd and minutes of compile;
@@ -154,18 +162,25 @@ class VFNet(nn.Module):
         if sampler == "auto":
             sampler = "pallas" if jax.default_backend() == "tpu" else "gather"
         if sampler == "pallas":
-            # the occlusion mask rides through the kernel as an extra
-            # NEAREST-sampled channel (saves a 2.4M-scalar-row XLA gather)
-            from ..ops.pallas_sample import (
-                sample_bilinear_with_nearest_mask_pallas)
+            # one kernel pass produces the masked per-point feature tensor:
+            # bilinear feat + NEAREST occlusion mask + rel-depth appended +
+            # validity gating, all in the kernel's VMEM epilogue (the
+            # unfused form spent ~10 ms/step re-streaming [cams, 200k, C]
+            # tensors through XLA elementwise passes)
+            from ..ops.pallas_sample import sample_backproject_pallas
             b_, cams_ = feats_agg.shape[:2]
-            fm = sample_bilinear_with_nearest_mask_pallas(
+            rel_depth_pts = (v_local[..., 2, :]
+                             / self.voxel_size[0]).astype(geo)
+            fm = sample_backproject_pallas(
                 feats_agg.reshape((b_ * cams_,) + feats_agg.shape[2:]),
                 mask_lowres.reshape((b_ * cams_,) + mask_lowres.shape[2:]),
                 pix.reshape(b_ * cams_, -1, 2),
-            ).reshape(pix.shape[:3] + (feats_agg.shape[-1] + 1,))
-            feat = fm[..., :-1]
-            m = jax.lax.stop_gradient(fm[..., -1])
+                rel_depth_pts.reshape(b_ * cams_, -1),
+            ).reshape(pix.shape[:3] + (feats_agg.shape[-1] + 2,))
+            feat = fm[..., :-1].astype(dtype)     # [.., C+1] masked, incl rel
+            valid = jax.lax.stop_gradient(fm[..., -1]).astype(dtype)
+            count = jnp.sum(valid, axis=1)        # [b, n]
+            return feat, valid, count
         elif sampler == "matmul":
             from ..ops.matmul_sample import sample_bilinear_mm
             b_, cams_ = feats_agg.shape[:2]
@@ -196,18 +211,21 @@ class VFNet(nn.Module):
         concatenated through another MLP. Outputs [b, n, voxel_pre_dim[-1]].
         """
         dtype = feat.dtype
-        total = jnp.sum(feat, axis=1)  # [b, n, C+1]
         non_overlap_mask = (count == 1).astype(dtype)[..., None]  # [b, n, 1]
-        x_no = total * non_overlap_mask
-        for blk in self.conv_non_overlap:
-            x_no = blk(x_no)
-        x_no = x_no * non_overlap_mask
-
         g1, g2 = self.overlap_groups
         g1 = [c for c in g1 if c < self.num_cams]
         g2 = [c for c in g2 if c < self.num_cams]
         feat1 = jnp.sum(feat[:, jnp.asarray(g1)], axis=1)
         feat2 = jnp.sum(feat[:, jnp.asarray(g2)], axis=1)
+        # the two static groups partition the cameras, so the all-camera sum
+        # is their sum — one fewer full pass over the [b, cams, n, C] stream
+        total = (feat1 + feat2 if sorted(g1 + g2) == list(range(self.num_cams))
+                 else jnp.sum(feat, axis=1))
+
+        x_no = total * non_overlap_mask
+        for blk in self.conv_non_overlap:
+            x_no = blk(x_no)
+        x_no = x_no * non_overlap_mask
         overlap_mask = (count == 2).astype(dtype)[..., None]
         x_o = jnp.concatenate([feat1, feat2], axis=-1)
         for blk in self.conv_overlap:
@@ -244,19 +262,25 @@ class VFNet(nn.Module):
             jnp.array(self.voxel_size, dtype=geo) - 1.0)
         ndc = (world - str_p) / (end_p - str_p) * 2.0 - 1.0
 
+        d, p = self.proj_d_bins, self.img_h * self.img_w
+        # Sample in PIXEL-major point order (transpose the small coord
+        # array, not the sampled features): the gather/scatter rows come out
+        # directly in the [b, cams, h, w, d*C] layout the reduction convs
+        # consume — the d-major order needed a 1.15M x 64 transpose copy on
+        # both sides of the sampler (~4.5 ms/step fwd + the same in bwd).
+        ndc_pm = jnp.swapaxes(ndc, -3, -2)  # [b, cams, P, d, 3]
         if self.sampler_3d == "packed":
             # ONE wide-row gather/scatter per point (8x fewer rows than the
             # 8-tap form; ~150 ms -> ~25 ms backward on v5e, docs/PERF.md)
             sampled = grid_sample_3d_packed(
-                vol, ndc.reshape(b, -1, 3)).reshape(ndc.shape[:-1] + (c,))
+                vol, ndc_pm.reshape(b, -1, 3)).reshape(ndc_pm.shape[:-1] + (c,))
         elif self.sampler_3d == "gather":
-            sampled = grid_sample_3d_nocoordgrad(vol, ndc)  # [b, cams, d, P, C]
+            sampled = grid_sample_3d_nocoordgrad(vol, ndc_pm)  # [b, cams, P, d, C]
         else:
             raise ValueError(f"unknown sampler_3d {self.sampler_3d!r}")
-        d, p = self.proj_d_bins, self.img_h * self.img_w
-        # -> [b, cams, h, w, d*C]; channel ordering is internal to the learned
-        # reduction convs so the exact (d, C) interleave need not match torch.
-        feat2d = jnp.moveaxis(sampled, -3, -2).reshape(
+        # channel ordering is internal to the learned reduction convs so the
+        # exact (d, C) interleave need not match torch.
+        feat2d = sampled.reshape(
             b, self.num_cams, self.img_h, self.img_w, d * c)
 
         packed = pack_cam_feat(feat2d)
@@ -286,13 +310,27 @@ class VFNet(nn.Module):
         extrinsics_inv: jnp.ndarray,
         extrinsics_aug: Optional[jnp.ndarray] = None,
         train: bool = True,
+        frame_groups: int = 1,
     ):
         """Returns a dict: depth mode -> {'proj_feat', ['proj_feat_aug'],
-        'voxel_feat'}; pose mode -> {'bev_feat'}."""
+        'voxel_feat'}; pose mode -> {'bev_feat'}.
+
+        ``frame_groups`` (pose mode): ``feats_agg`` carries G frame-pair
+        feature maps channel-concatenated ``[b, cams, h, w, G*C]``, all
+        sharing this call's calibration. Because the projected coordinates
+        are identical across groups, the back-projection samples all G*C
+        channels through ONE kernel pass — the one-hot weight matrix (the
+        dominant sampler cost on TPU) is built once instead of G times.
+        The visibility-weighted voxel mean is channelwise, so the groups
+        split apart afterwards bit-exactly; the BEV head then runs
+        group-major batch-stacked ``[G*b, ...]``, matching the semantics of
+        G separate passes (reference runs each context pair separately,
+        ``models/vfdepth.py`` pose loop)."""
         feat, valid, count = self.backproject_into_voxel(
             feats_agg, mask, intrinsics, extrinsics_inv)
 
         if self.model == "depth":
+            assert frame_groups == 1, "frame_groups is a pose-path feature"
             voxel_feat = self.fuse_depth(feat, count)
             out = {
                 "voxel_feat": voxel_feat,
@@ -306,6 +344,15 @@ class VFNet(nn.Module):
 
         # pose: visibility-weighted mean over cameras (reference :160-162)
         voxel_feat = jnp.sum(feat, axis=1) / (count[..., None] + 1e-7)
+        if frame_groups > 1:
+            # split the channel groups back out; the appended rel-depth
+            # channel (last) is shared geometry, each group gets a copy
+            gc = (voxel_feat.shape[-1] - 1) // frame_groups
+            rel = voxel_feat[..., -1:]
+            voxel_feat = jnp.concatenate(
+                [jnp.concatenate(
+                    [voxel_feat[..., g * gc:(g + 1) * gc], rel], axis=-1)
+                 for g in range(frame_groups)], axis=0)  # [G*b, n, C+1]
         return {"bev_feat": self.bev_from_voxel(voxel_feat, train)}
 
 

@@ -36,14 +36,17 @@ _TILE_N = 256
 _SUPER = 8  # 16+ exceeds the 16 MB scoped-vmem limit (out block scales with it)
 _BLOCK_N = _TILE_N * _SUPER
 # Source y-band rows (aligned lattice; multiple of the bf16 sublane tile).
-# Measured in-model (v5e): 16-row banding LOSES on the real voxel
-# back-projection — a 256-pt sub-tile is ~2.5 voxel x-rows spanning +-50 m
-# of world, which projects across most of the 48-row image, so banding
-# multiplies W-builds without shrinking them. Whole-image "bands" keep the
-# dynamic zero-iteration skip for out-of-FOV sub-tiles and the fused
-# nearest-mask channel. (Banding stays selectable here for taller sources.)
+# The band span per sub-tile is computed over LIVE TAPS ONLY (points whose
+# bilinear taps can touch the image); without that masking a single stray
+# point — in front of the camera but projecting outside the image, clipped
+# at +-2*w pixels — stretched the span over the whole lattice, which is why
+# an earlier 16-row banding experiment lost to whole-image bands. With live
+# -tap spans the measured mean is ~1.3 segments of 16 rows per 256-point
+# sub-tile on the DDAD rig (~2.3x fewer MACs + W-build ops than the
+# whole-image band, on top of the zero-iteration skip for fully
+# out-of-FOV sub-tiles).
 def _band_rows(h: int) -> int:
-    return -(-h // 16) * 16
+    return 16
 
 
 def _pix_taps(coords: jnp.ndarray, h: int, w: int, sb: int):
@@ -82,8 +85,17 @@ def _pix_taps(coords: jnp.ndarray, h: int, w: int, sb: int):
     ohx_n = (m0x.astype(jnp.bfloat16) * (one - pxn)
              + m1x.astype(jnp.bfloat16) * pxn)
 
-    lo = jnp.clip(jnp.min(y0), -1.0, float(h)).astype(jnp.int32)
-    hi = jnp.clip(jnp.max(y0) + 2.0, -1.0, float(h) + 1.0).astype(jnp.int32)
+    # Band span over LIVE taps only: a point contributes nothing unless both
+    # its x taps and y taps can land in-image (ix0 in [-1, w-1], iy0 in
+    # [-1, h-1]) — excluding dead points from the span is exact, and it is
+    # what keeps the span tight (in-front points clipped at +-2*w pixels
+    # would otherwise stretch it across the whole lattice).
+    alive = ((ix0 >= -1) & (ix0 <= w - 1)
+             & (iy0 >= -1) & (iy0 <= h - 1))
+    y0a = jnp.where(alive, iy0, h)
+    lo = jnp.clip(jnp.min(y0a), -1, h)
+    y0b = jnp.where(alive, iy0, -2)
+    hi = jnp.clip(jnp.max(y0b) + 2, -1, h + 1)
     lat = jnp.maximum((lo // sb) * sb, 0)
     n_seg = jnp.maximum((jnp.minimum(hi, h) - lat + sb - 1) // sb, 0)
     return ohx, ohx_n, iy0, ty, fy32, lat, n_seg
@@ -110,19 +122,29 @@ def _wy_band(iy0, ty, o_kw, tile, w, h, sb, transpose=False):
             + row1.astype(jnp.bfloat16) * ty)
 
 
-def _fwd_kernel(h: int, w: int, sb: int, with_mask: bool, n_valid: int,
-                img_ref, coords_ref, *rest):
-    """img (bf16) [h*w, C]; coords [BLOCK_N, 2]; out [BLOCK_N, C(+1)].
+def _fwd_kernel(h: int, w: int, sb: int, with_mask: bool, fold_valid: bool,
+                n_valid: int, img_ref, coords_ref, *rest):
+    """img (bf16) [h*w, C]; coords [BLOCK_N, 2(+1)]; out [BLOCK_N, C(+1|+2)].
 
     with_mask: an extra input mask2d (bf16) [h_pad, w] is NEAREST-sampled
     through the same taps (rounded per-axis one-hots) into the LAST output
     channel — replaces a separate 2.4M-scalar-row XLA gather in the
-    back-projection validity test."""
+    back-projection validity test.
+
+    fold_valid (implies with_mask): coords carry a third per-point column
+    (the rel-depth feature) and the output is the back-projection's entire
+    per-point epilogue — [feat * valid, rel * valid, valid] with
+    valid = nearest_mask > 0.5 — folding what was ~10 ms/step of
+    [cams, 200k, C]-sized XLA elementwise passes (mask select, rel-depth
+    concat, validity broadcast) into the kernel's VMEM epilogue. Callers
+    must pre-sanitize coords of points they consider invalid (behind camera
+    / out of NDC bounds) out of tap range; the kernel then reproduces
+    ``feat_cat * valid`` of vfnet.backproject_into_voxel bit-for-bit."""
     if with_mask:
         mask_ref, out_ref = rest
     else:
         (out_ref,) = rest
-    c = out_ref.shape[-1] - (1 if with_mask else 0)
+    c = out_ref.shape[-1] - ((2 if fold_valid else 1) if with_mask else 0)
 
     blk = pl.program_id(1)
 
@@ -170,6 +192,11 @@ def _fwd_kernel(h: int, w: int, sb: int, with_mask: bool, n_valid: int,
         acc = jax.lax.fori_loop(
             0, n_seg, seg,
             jnp.zeros((_TILE_N, c + (1 if with_mask else 0)), jnp.float32))
+        if fold_valid:
+            valid = (acc[:, c:c + 1] > 0.5).astype(jnp.float32)
+            rel = coords[:, 2:3]
+            acc = jnp.concatenate(
+                [acc[:, :c] * valid, rel * valid, valid], axis=1)
         out_ref[sl, :] = acc.astype(out_ref.dtype)
         return 0
 
@@ -230,11 +257,13 @@ def _pad_rows(h: int) -> int:
 
 
 def _fwd_call(img_flat: jnp.ndarray, coords: jnp.ndarray, h: int, w: int,
-              mask2d=None):
-    """img_flat [B, h*w, C]; coords [B, N, 2]; optional mask2d [B, h, w]
-    -> [B, N, C (+1 nearest-sampled mask channel)]."""
+              mask2d=None, fold_valid: bool = False):
+    """img_flat [B, h*w, C]; coords [B, N, 2] (3 cols when fold_valid: the
+    third is the per-point rel-depth passthrough); optional mask2d [B, h, w]
+    -> [B, N, C (+1 nearest mask | +2 rel*valid, valid)]."""
     b, hw, c = img_flat.shape
     n = coords.shape[1]
+    ncols = coords.shape[-1]
     n_tiles = -(-n // _BLOCK_N)      # grid need not divide n (tail masked)
     with_mask = mask2d is not None
 
@@ -249,7 +278,7 @@ def _fwd_call(img_flat: jnp.ndarray, coords: jnp.ndarray, h: int, w: int,
     in_specs = [
         pl.BlockSpec((None, hp, c), lambda i, j: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((None, _BLOCK_N, 2), lambda i, j: (i, j, 0),
+        pl.BlockSpec((None, _BLOCK_N, ncols), lambda i, j: (i, j, 0),
                      memory_space=pltpu.VMEM),
     ]
     args = [img_flat, coords]
@@ -260,9 +289,10 @@ def _fwd_call(img_flat: jnp.ndarray, coords: jnp.ndarray, h: int, w: int,
         args.append(mask2d.astype(jnp.bfloat16))
         in_specs.append(pl.BlockSpec((None, hr, w), lambda i, j: (i, 0, 0),
                                      memory_space=pltpu.VMEM))
-    co = c + (1 if with_mask else 0)
+    co = c + ((2 if fold_valid else 1) if with_mask else 0)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, h, w, _band_rows(h), with_mask, n),
+        functools.partial(_fwd_kernel, h, w, _band_rows(h), with_mask,
+                          fold_valid, n),
         grid=(b, n_tiles),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((None, _BLOCK_N, co), lambda i, j: (i, j, 0),
@@ -370,3 +400,52 @@ def sample_bilinear_with_nearest_mask_pallas(
     [B, N, C+1] — last channel is the nearest-sampled mask (no gradient).
     """
     return _pallas_sample_masked(img, mask, coords)
+
+
+@jax.custom_vjp
+def _pallas_backproject(img, mask, coords3):
+    h, w = img.shape[-3], img.shape[-2]
+    img_flat = img.reshape(img.shape[0], h * w, img.shape[-1])
+    return _fwd_call(img_flat, coords3, h, w, mask2d=mask[..., 0],
+                     fold_valid=True).astype(img.dtype)
+
+
+def _pallas_backproject_fwd(img, mask, coords3):
+    out = _pallas_backproject(img, mask, coords3)
+    # valid (exact bf16 0/1) gates the backward: dL/dimg = W^T (g * valid)
+    return out, (coords3, out[..., -1], img.shape, mask.shape)
+
+
+def _pallas_backproject_bwd(res, g):
+    coords3, valid, img_shape, mask_shape = res
+    h, w = img_shape[-3], img_shape[-2]
+    c = img_shape[-1]
+    # only the feature channels carry image gradient; rel/valid channels are
+    # input passthroughs (no parameters behind them). The valid gate fuses
+    # into whatever elementwise op produces g.
+    gv = g[..., :c] * valid[..., None].astype(g.dtype)
+    dimg_flat = _bwd_call(gv, coords3[..., :2], h, w)
+    return (dimg_flat.reshape(img_shape).astype(g.dtype),
+            jnp.zeros(mask_shape, g.dtype), jnp.zeros_like(coords3))
+
+
+_pallas_backproject.defvjp(_pallas_backproject_fwd, _pallas_backproject_bwd)
+
+
+def sample_backproject_pallas(img: jnp.ndarray, mask: jnp.ndarray,
+                              coords: jnp.ndarray,
+                              rel: jnp.ndarray) -> jnp.ndarray:
+    """The back-projection sampling stage with its per-point epilogue fused.
+
+    img: [B, H, W, C]; mask: [B, H, W, 1]; coords: [B, N, 2] normalized,
+    with invalid points (behind camera / out of bounds) pre-sanitized out of
+    tap range by the caller; rel: [B, N] per-point rel-depth feature.
+
+    Returns [B, N, C+2] = [feat * valid, rel * valid, valid] where
+    valid = nearest-sampled mask > 0.5 (exactly the masked feature tensor of
+    ``VFNet.backproject_into_voxel``, reference
+    ``network/volumetric_fusionnet.py:183-195``). Gradient flows to img only.
+    """
+    coords3 = jnp.concatenate(
+        [coords, rel[..., None].astype(coords.dtype)], axis=-1)
+    return _pallas_backproject(img, mask, coords3)

@@ -93,4 +93,13 @@ def batch_sharding_2d(mesh: Mesh, num_cams: int, batch: Any) -> Any:
 
 def shard_batch_2d(mesh: Mesh, num_cams: int, batch: Any) -> Any:
     shardings = batch_sharding_2d(mesh, num_cams, batch)
+    if jax.process_count() > 1:
+        # Pod: each process holds its local [b_local, cams, ...] chunk; the
+        # data axis spans hosts (make_mesh_2d lays devices process-major →
+        # rows = hosts), the cam axis stays within a host.
+        def put(x, sh):
+            global_shape = (x.shape[0] * jax.process_count(),) + tuple(x.shape[1:])
+            return jax.make_array_from_process_local_data(sh, np.asarray(x),
+                                                          global_shape)
+        return jax.tree_util.tree_map(put, batch, shardings)
     return jax.tree_util.tree_map(jax.device_put, batch, shardings)

@@ -48,6 +48,8 @@ def loss_config_from(cfg: Config) -> LossConfig:
         spatio_temporal=cfg.spatio_temporal,
         aug_depth=cfg.aug_depth,
         pose_model=cfg.pose_model,
+        warmup_steps=int(cfg.get("cold_start_warmup_steps", 0)),
+        ramp_steps=int(cfg.get("cold_start_ramp_steps", 0)),
     )
 
 
@@ -168,24 +170,43 @@ class VFDepthModel:
                                         dtype=self.compute_dtype)
 
     # ------------------------------------------------------------------
-    def configure_warp_window(self, batch) -> None:
-        """Host-side: size the static warp windows from the rig calibration
-        of one (numpy or device) batch. No-op when tpu.warp_window is off or
-        an explicit tpu.warp_window_hw override is set."""
+    def configure_warp_window(self, batch, rigs=None) -> None:
+        """Host-side: size the static warp windows over rig calibrations.
+        No-op when tpu.warp_window is off or an explicit tpu.warp_window_hw
+        override is set.
+
+        DDAD calibrations vary per scene, so windows sized on one scene's
+        rig could truncate another's warps (the runtime ``overflow`` scalar
+        would flag it, and the Trainer falls back to dense warps — but
+        correct sizing should not rely on that). Sizes are therefore maxed
+        over EVERY rig in the example batch plus ``rigs``: an optional list
+        of ``(K [cams,4,4] at train resolution, extrinsics [cams,4,4])``
+        pairs — datasets provide one per scene via ``rig_calibrations()``
+        (no image loads), which ``Trainer.learn`` forwards here."""
         if not self.warp_window or self.warp_window_hw is not None:
             return
         if not (self.loss_cfg.spatio or self.loss_cfg.spatio_temporal):
             self.warp_window = False
             return
-        from ..geometry.warp_window import estimate_window_hw
+        from ..geometry.warp_window import estimate_window_hw_multi
         rel = np.asarray(self.rel_cam)
-        k0 = np.asarray(batch["K/0"])[0]
-        ik0 = np.asarray(batch["inv_K/0"])[0]
-        ext = np.asarray(batch["extrinsics"])[0]
+        k_b = np.asarray(batch["K/0"])
+        ext_b = np.asarray(batch["extrinsics"])
+        rig_list = [(k_b[i], ext_b[i]) for i in range(k_b.shape[0])]
+        for k, ext in (rigs or []):
+            rig_list.append((np.asarray(k), np.asarray(ext)))
+        # dedupe identical calibrations (most batches repeat one rig)
+        seen, uniq = set(), []
+        for k, ext in rig_list:
+            key = (np.asarray(k)[:, :2].round(4).tobytes(),
+                   np.asarray(ext)[:, :3].round(5).tobytes())
+            if key not in seen:
+                seen.add(key)
+                uniq.append((k, ext))
 
         def sized(with_motion):
-            hw = estimate_window_hw(
-                k0, ik0, ext, np.maximum(rel, 0), rel >= 0,
+            hw = estimate_window_hw_multi(
+                uniq, np.maximum(rel, 0), rel >= 0,
                 self.height, self.width, self.min_depth, self.max_depth,
                 self.focal_length_scale, with_motion=with_motion)
             # near-full windows would only add slicing overhead -> dense
@@ -274,12 +295,19 @@ class VFDepthModel:
 
     def _apply(self, net, net_params, net_stats, *args, train: bool, **kwargs):
         variables = {"params": net_params, "batch_stats": net_stats}
+        # Python int/bool kwargs (e.g. FusedPoseNet's n_ctx) are STATIC
+        # shape/branch parameters: bind them in the closure instead of
+        # passing them through jax.checkpoint, which would trace them and
+        # break `if`-branching on their values.
+        static_kw = {k: v for k, v in kwargs.items() if isinstance(v, int)}
+        dyn_kw = {k: v for k, v in kwargs.items() if k not in static_kw}
         if train:
             def run(v, a, kw):
-                return net.apply(v, *a, train=True, mutable=["batch_stats"], **kw)
+                return net.apply(v, *a, train=True, mutable=["batch_stats"],
+                                 **static_kw, **kw)
             if self._remat_for(net):
                 run = jax.checkpoint(run)
-            out, mut = run(variables, args, kwargs)
+            out, mut = run(variables, args, dyn_kw)
             return out, mut["batch_stats"]
         return net.apply(variables, *args, train=False, **kwargs), net_stats
 
@@ -305,13 +333,14 @@ class VFDepthModel:
             nxts = jnp.concatenate(
                 [batch[f"color_aug/{0 if f < 0 else f}/0"] for f in ctx], axis=0)
             if isinstance(self.pose_net, FusedPoseNet):
-                def tile(x):
-                    return jnp.concatenate([x] * n_ctx, axis=0)
+                # calibration is NOT tiled: all context pairs share the rig,
+                # so the pose VFNet back-projection merges them into one
+                # shared-coordinate kernel pass (frame-group channel merge)
                 (axisangle, translation), new_stats = self._apply(
                     self.pose_net, params, new_stats, curs, nxts,
-                    tile(batch["mask"]), tile(batch[fusion_k]),
-                    tile(batch[fusion_ik]), tile(batch["extrinsics"]),
-                    tile(batch["extrinsics_inv"]), train=train)
+                    batch["mask"], batch[fusion_k],
+                    batch[fusion_ik], batch["extrinsics"],
+                    batch["extrinsics_inv"], train=train, n_ctx=n_ctx)
                 aa = axisangle[:, 0, 0].reshape(n_ctx, bsz, 3)
                 tr = translation[:, 0, 0].reshape(n_ctx, bsz, 3)
                 for i, f in enumerate(ctx):
@@ -397,12 +426,13 @@ class VFDepthModel:
 
     # ------------------------------------------------------------------
     def forward(self, params, stats, batch, rng, train: bool = True,
-                return_renders: bool = False):
+                return_renders: bool = False, step=None):
         """Full pipeline -> (outputs, (loss, logs), new_stats).
 
         ``return_renders`` additionally attaches the scale-0 warped views
         (temporal/overlap images + masks, reprojection maps) to outputs for
-        the TB image panels at validation time.
+        the TB image panels at validation time. ``step`` (traced scalar,
+        train only) drives the cold-start overlap-coefficient ramp.
         """
         rng_noise, rng_aug = jax.random.split(rng)
 
@@ -444,7 +474,8 @@ class VFDepthModel:
 
         loss, logs = total_loss(rng_noise, self.loss_cfg, batch, disps, depths,
                                 cam_t_cam, rendered,
-                                disps_aug=disps_aug, depths_aug=depths_aug)
+                                disps_aug=disps_aug, depths_aug=depths_aug,
+                                step=step)
         if windows is not None:
             # >0 would mean a warp window truncated real content this step
             # (should never fire with the setup-time motion margin)

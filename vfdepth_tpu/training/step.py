@@ -47,10 +47,12 @@ def make_optimizer(learning_rate, scheduler_step_size: int,
 
 
 def create_train_state(model: VFDepthModel, rng: jax.Array, batch,
-                       steps_per_epoch: int = 0) -> Tuple[TrainState, optax.GradientTransformation]:
-    # size the static warp windows from this batch's rig calibration
-    # (host-side, before any step compiles)
-    model.configure_warp_window(batch)
+                       steps_per_epoch: int = 0,
+                       rigs=None) -> Tuple[TrainState, optax.GradientTransformation]:
+    # size the static warp windows from this batch's rig calibration plus
+    # any dataset-provided per-scene rigs (host-side, before any step
+    # compiles — DDAD calibration varies per scene)
+    model.configure_warp_window(batch, rigs=rigs)
     params, batch_stats = model.init(rng, batch)
     tx = make_optimizer(model.cfg.learning_rate,
                         model.cfg.scheduler_step_size, steps_per_epoch)
@@ -67,7 +69,8 @@ def build_train_step(model: VFDepthModel, tx: optax.GradientTransformation,
 
         def loss_fn(params):
             outputs, (loss, logs), new_stats = model.forward(
-                params, state.batch_stats, batch, rng, train=True)
+                params, state.batch_stats, batch, rng, train=True,
+                step=state.step)
             return loss, (logs, new_stats)
 
         grads, (logs, new_stats) = jax.grad(loss_fn, has_aux=True)(state.params)
@@ -110,7 +113,8 @@ def shard_train_step(model: VFDepthModel, tx, mesh=None):
 
         def loss_fn(params):
             outputs, (loss, logs), new_stats = model.forward(
-                params, state.batch_stats, batch, rng, train=True)
+                params, state.batch_stats, batch, rng, train=True,
+                step=state.step)
             return loss, (logs, new_stats)
 
         grads, (logs, new_stats) = jax.grad(loss_fn, has_aux=True)(state.params)
@@ -144,7 +148,8 @@ def shard_train_step_2d(model: VFDepthModel, tx, mesh, example_batch):
 
         def loss_fn(params):
             outputs, (loss, logs), new_stats = model.forward(
-                params, state.batch_stats, batch, rng, train=True)
+                params, state.batch_stats, batch, rng, train=True,
+                step=state.step)
             return loss, (logs, new_stats)
 
         grads, (logs, new_stats) = jax.grad(loss_fn, has_aux=True)(state.params)

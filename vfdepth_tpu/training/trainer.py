@@ -56,14 +56,19 @@ class Trainer:
 
         spe = steps_per_epoch if steps_per_epoch is not None else getattr(
             train_loader, "steps_per_epoch", 0)
+        # per-scene rig calibrations so the static warp windows are sized
+        # over the dataset's calibration spread, not one batch's rig
+        ds = getattr(train_loader, "dataset", None)
+        rigs = (ds.rig_calibrations() if hasattr(ds, "rig_calibrations")
+                else None)
         if state is None:
             state, tx = create_train_state(
                 self.model, rng, jax.tree_util.tree_map(jnp.asarray, first),
-                steps_per_epoch=spe)
+                steps_per_epoch=spe, rigs=rigs)
         else:
             _, tx = create_train_state(
                 self.model, rng, jax.tree_util.tree_map(jnp.asarray, first),
-                steps_per_epoch=spe)
+                steps_per_epoch=spe, rigs=rigs)
 
         if self.cfg.get("pretrain", False):
             state = load_checkpoint(self.cfg.load_weights_dir, state,
@@ -96,12 +101,28 @@ class Trainer:
 
                 if self.logger.is_checkpoint(step):
                     logs = {k: float(v) for k, v in logs.items()}
+                    if self._note_warp_overflow(
+                            logs.get("warp_window_overflow", 0.0)):
+                        # persistent window truncation: recompile dense
+                        train_step = self._build_step(tx, first)
+                        panel_step = build_eval_step(self.model,
+                                                     return_renders=True)
+                        if val_loader is not None:
+                            eval_step = build_eval_step(self.model,
+                                                        return_renders=True)
                     if self.is_main:
                         self.logger.log_time(
                             epoch, batch_idx, time.time() - before,
                             logs.get("total_loss", float("nan")), start_time)
                         self.logger.log_scalars("train", logs, step)
-                    if self.logger.writers.get("train") is not None:
+                    # Train-batch panels require an extra forward. On a pod
+                    # the train batch is sharded across processes, so a
+                    # process-0-only forward would be a collective executed
+                    # by one participant — a hang. Run it only single-process
+                    # (process 0 there IS every process); multi-host runs
+                    # keep the val panels, which use replicated batches.
+                    if (self.logger.writers.get("train") is not None
+                            and jax.process_count() == 1):
                         p_out, _ = panel_step(state, batch, rng)
                         self.logger.log_images(
                             "train", jax.tree_util.tree_map(np.asarray, batch),
@@ -115,16 +136,43 @@ class Trainer:
                     break
 
             # reference saves on rank 0 every `save_frequency` epochs
-            # (configs use 1; trainer/vfdepth_trainer.py:46-47)
+            # (trainer/vfdepth_trainer.py:46-47). Orbax is multi-host-aware
+            # and performs a cross-process sync inside save: EVERY process
+            # must call it (a process-0-only call deadlocks the pod); the
+            # actual write happens from the primary host only.
             save_freq = max(int(self.cfg.get("save_frequency", 1) or 1), 1)
-            if self.is_main and ((epoch + 1) % save_freq == 0
-                                 or epoch == self.num_epochs - 1):
+            if (epoch + 1) % save_freq == 0 or epoch == self.num_epochs - 1:
                 save_checkpoint(self.cfg.save_weights_root, epoch, state)
             print("-" * 110)
             if max_steps is not None and step >= max_steps:
                 break
         self.logger.close()
         return state
+
+    def _note_warp_overflow(self, overflow: float) -> bool:
+        """Track the runtime ``warp_window_overflow`` scalar across log
+        checkpoints. One overflow gets a warning (the loss for the affected
+        camera pairs truncated that step); two CONSECUTIVE checkpoints with
+        overflow mean the static window size genuinely undersizes this
+        data's rigs — disable windows on the model and return True so the
+        caller recompiles the (dense, always-correct) warp path."""
+        if overflow and overflow > 0:
+            self._overflow_strikes = getattr(self, "_overflow_strikes", 0) + 1
+            if self.is_main:
+                print(f"WARNING: warp window overflow {overflow:.0f} px "
+                      f"(strike {self._overflow_strikes}) — a static warp "
+                      "window truncated real content this step")
+            if self._overflow_strikes >= 2 and self.model.warp_window:
+                if self.is_main:
+                    print("WARNING: persistent warp-window overflow — "
+                          "falling back to dense warps (recompiling)")
+                self.model.warp_window = False
+                self.model.warp_window_hw = None
+                self._overflow_strikes = 0
+                return True
+        else:
+            self._overflow_strikes = 0
+        return False
 
     def _build_step(self, tx, example_batch):
         """Pick the step variant from ``tpu.*`` config and attached devices.
@@ -135,8 +183,24 @@ class Trainer:
         the unsharded step.
         """
         n_dev = jax.device_count()
+        n_proc = jax.process_count()
         batch_size = int(self.cfg.batch_size)
         cam_par = int(self.cfg.get("cam_parallel_size", 1))
+        if n_proc > 1 and cam_par <= 1:
+            # Pod: loaders are per-host (cfg.batch_size = per-host batch), so
+            # the single-host divisibility test below would see the wrong
+            # denominator. A pod MUST take the sharded step — the unsharded
+            # fallback would train per-process diverging copies.
+            local_dev = jax.local_device_count()
+            if batch_size % local_dev:
+                raise ValueError(
+                    f"multi-host: per-host batch {batch_size} must divide "
+                    f"local device count {local_dev}")
+            from .step import shard_train_step
+            from ..parallel.mesh import shard_batch
+            step_fn, mesh = shard_train_step(self.model, tx)
+            self._shard_fn = lambda b: shard_batch(mesh, b)
+            return step_fn
         if cam_par > 1 and n_dev >= cam_par:
             data_dim = n_dev // cam_par
             if batch_size % max(data_dim, 1) or self.model.num_cams % cam_par:

@@ -81,6 +81,7 @@ def compute_depth_metrics(
     metric_acc = {k: 0.0 for k in METRIC_NAMES}
     median_acc = {k: 0.0 for k in METRIC_NAMES}
     med_scales: List[float] = []
+    valid_cams = 0
 
     for cam in range(num_cams):
         gt = depth_gt[:, cam]
@@ -94,6 +95,7 @@ def compute_depth_metrics(
         if gt_m.size == 0:
             med_scales.append(float("nan"))
             continue
+        valid_cams += 1
 
         def torch_median(v: np.ndarray) -> float:
             # torch.median returns the LOWER of the two middle elements for
@@ -111,9 +113,15 @@ def compute_depth_metrics(
         for k, v in zip(METRIC_NAMES, cal_depth_error(pred_median, gt_m)):
             median_acc[k] += v
 
+    # Average only over cameras that had valid GT. Dividing by num_cams
+    # would silently deflate averages when a camera contributes nothing;
+    # the reference would loudly NaN there (torch.median of an empty
+    # tensor). With zero valid cameras everything becomes NaN — the same
+    # loud failure semantics.
+    denom = valid_cams if valid_cams > 0 else float("nan")
     for k in METRIC_NAMES:
-        metric_acc[k] /= num_cams
-        median_acc[k] /= num_cams
+        metric_acc[k] /= denom
+        median_acc[k] /= denom
     return metric_acc, median_acc, med_scales
 
 
