@@ -42,6 +42,17 @@ def main():
     cfg = build_config(height=height, width=width, batch_size=1,
                        mixed_precision=True, learning_rate=2e-4,
                        max_depth=80.0, eval_max_depth=80)
+    # PROBE_COLDSTART=1: FULL joint training from a random init, no GT-pose
+    # crutch, no distillation — relying on the staged recipe alone
+    # (temporal-only warmup, then the overlap coefficients ramp in). The
+    # in-environment path to accuracy parity without ImageNet weights.
+    if os.environ.get("PROBE_COLDSTART", "0") == "1":
+        warm = int(os.environ.get("PROBE_CS_WARMUP", "600"))
+        ramp = int(os.environ.get("PROBE_CS_RAMP", "600"))
+        cfg.set("cold_start_warmup_steps", warm, section="training")
+        cfg.set("cold_start_ramp_steps", ramp, section="training")
+        print(f"(cold start: temporal-only for {warm} steps, overlap "
+              f"coefficients ramp over {ramp})", flush=True)
     model = VFDepthModel(cfg)
 
     if os.environ.get("PROBE_GT_POSE", "0") == "1" or warmstart > 0:

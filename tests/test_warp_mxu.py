@@ -132,14 +132,16 @@ def test_ceil_tap_on_band_boundary():
 
 def test_patch_layout_equals_strip():
     """layout='patch' permutes target pixels into 16x16 patches around the
-    (order-oblivious) kernel; results must equal the strip layout exactly,
-    including coordinate gradients."""
+    (order-oblivious) kernel; results must match the strip layout to f32
+    accumulation-order tolerance (the layouts use different y-band heights
+    — 16 vs 32 rows — so per-pixel sums associate differently; the mask is
+    exact 0/1 either way)."""
     img, mask, coords = _setup(5, b=1)  # n = H*W, patchable
 
     is_, ms_ = warp_image_mask_mxu(img, mask, coords, layout="strip")
     ip, mp = warp_image_mask_mxu(img, mask, coords, layout="patch")
-    np.testing.assert_allclose(np.asarray(ip), np.asarray(is_), atol=1e-6)
-    np.testing.assert_allclose(np.asarray(mp), np.asarray(ms_), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ip), np.asarray(is_), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(mp), np.asarray(ms_))
 
     def loss(c, layout):
         iw, mw = warp_image_mask_mxu(img, mask, c, layout=layout)
@@ -147,4 +149,5 @@ def test_patch_layout_equals_strip():
 
     gs = jax.grad(lambda c: loss(c, "strip"))(coords)
     gp = jax.grad(lambda c: loss(c, "patch"))(coords)
-    np.testing.assert_allclose(np.asarray(gp), np.asarray(gs), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gs),
+                               atol=1e-4, rtol=1e-4)

@@ -215,8 +215,17 @@ class VFNet(nn.Module):
         g1, g2 = self.overlap_groups
         g1 = [c for c in g1 if c < self.num_cams]
         g2 = [c for c in g2 if c < self.num_cams]
-        feat1 = jnp.sum(feat[:, jnp.asarray(g1)], axis=1)
-        feat2 = jnp.sum(feat[:, jnp.asarray(g2)], axis=1)
+        # static per-camera slices + adds (advanced indexing with a traced
+        # index array lowers to a loop-carried gather on TPU; this fuses)
+        def _group_sum(idx):
+            if not idx:
+                return jnp.zeros(feat.shape[:1] + feat.shape[2:], dtype)
+            s = feat[:, idx[0]]
+            for cam in idx[1:]:
+                s = s + feat[:, cam]
+            return s
+        feat1 = _group_sum(g1)
+        feat2 = _group_sum(g2)
         # the two static groups partition the cameras, so the all-camera sum
         # is their sum — one fewer full pass over the [b, cams, n, C] stream
         total = (feat1 + feat2 if sorted(g1 + g2) == list(range(self.num_cams))

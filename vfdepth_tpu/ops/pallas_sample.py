@@ -303,7 +303,19 @@ def _fwd_call(img_flat: jnp.ndarray, coords: jnp.ndarray, h: int, w: int,
 
 
 def _bwd_call(g: jnp.ndarray, coords: jnp.ndarray, h: int, w: int):
-    """g [B, N, C] -> dimg_flat [B, h*w, C]."""
+    """g [B, N, C] -> dimg_flat [B, h*w, C].
+
+    C is chunked at 256: the kernel's scoped-VMEM footprint (f32 accumulator
+    scratch + per-band dot temporaries) scales with C and exceeds the 16 MB
+    scoped limit near C=512 at DDAD shapes. Chunking re-runs the (cheap,
+    C-independent) W-build per chunk but keeps every chunk comfortably
+    resident; rows/MACs are unchanged."""
+    c_all = g.shape[-1]
+    if c_all > 256:
+        parts = [
+            _bwd_call(g[..., o:o + 256], coords, h, w)
+            for o in range(0, c_all, 256)]
+        return jnp.concatenate(parts, axis=-1)
     b, n, c = g.shape
     n_tiles = -(-n // _BLOCK_N)      # grid need not divide n (tail masked)
 

@@ -43,7 +43,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 _BLOCK_T = 2048     # target pixels per grid step (8 micro-tiles)
 _MICRO = 256        # pixels per one-hot matmul (2 lane-tiles)
-_SH = 32            # source y-band rows (aligned lattice)
+# Source y-band rows (aligned lattice), per target-pixel layout: 'strip'
+# micro-tiles are 0.4-row runs whose bilinear taps span only ~3-6 source
+# rows, so a 16-row band halves the matmul M-dim (FLOPs scale with _SH)
+# vs 32; 'patch' 16x16 micro-tiles span ~16-20 rows and keep 32-row bands
+# (16 would double band-copy/loop overhead for the same total MACs).
+# 16 is the bf16 sublane tile — the aligned-lattice minimum.
+_SH = {"strip": 16, "patch": 32}
 _SW = 256           # source x-window columns (aligned lattice)
 _C = 3              # image channels (RGB); mask is channel _C
 
@@ -60,23 +66,23 @@ def _tap_range(c: jnp.ndarray, size: int):
     return lo, hi
 
 
-def _fwd_kernel(h: int, w: int, w_pad: int, src_ref, x_ref, y_ref,
+def _fwd_kernel(h: int, w: int, w_pad: int, sh: int, src_ref, x_ref, y_ref,
                 out_ref, ddx_ref, ddy_ref, band_ref):
     """src (bf16) [C+1, h, w_pad]; x/y [T/_MICRO, _MICRO] f32;
     out [C+1, T] f32; ddx/ddy [C, T] f32 (d out_img / d pixel coord);
-    band_ref: VMEM scratch [(C+1)*_SH, w_pad] bf16 (per-y-band flat copy —
+    band_ref: VMEM scratch [(C+1)*sh, w_pad] bf16 (per-y-band flat copy —
     ONE sublane relayout per band, then x-windows are cheap lane reads).
 
     Loop structure: all trip counts are DYNAMIC (exact number of active
     y-bands / x-windows — no skipped-guard iterations), and bands/windows
-    live on lattices that never clamp (h % _SH == 0, w_pad % sw == 0), so
+    live on lattices that never clamp (h % sh == 0, w_pad % sw == 0), so
     each tap belongs to exactly one (band, window) and a single iota
     equality against sentinel-invalidated tap indices builds the one-hots.
     """
     c4 = _C + 1
     n_micro = _BLOCK_T // _MICRO
     sw = min(_SW, w_pad)
-    ci = _C * _SH
+    ci = _C * sh
     big = jnp.int32(-(1 << 24))
 
     out_ref[:] = jnp.zeros_like(out_ref)
@@ -84,16 +90,16 @@ def _fwd_kernel(h: int, w: int, w_pad: int, src_ref, x_ref, y_ref,
     ddy_ref[:] = jnp.zeros_like(ddy_ref)
 
     y_lo, y_hi = _tap_range(y_ref[:], h)
-    lat_y = jnp.maximum((y_lo // _SH) * _SH, 0)
+    lat_y = jnp.maximum((y_lo // sh) * sh, 0)
     n_yseg = jnp.maximum(
-        (jnp.minimum(y_hi, h) - lat_y + _SH - 1) // _SH, 0)
+        (jnp.minimum(y_hi, h) - lat_y + sh - 1) // sh, 0)
 
     iox = jax.lax.broadcasted_iota(jnp.int32, (sw, _MICRO), 0)
-    ior = jax.lax.broadcasted_iota(jnp.int32, (_SH, _MICRO), 0)
+    ior = jax.lax.broadcasted_iota(jnp.int32, (sh, _MICRO), 0)
 
     def yseg_body(ky, _):
-        o_k = pl.multiple_of(lat_y + ky * _SH, _SH)
-        band_ref[:] = src_ref[:, pl.ds(o_k, _SH), :].reshape(c4 * _SH, w_pad)
+        o_k = pl.multiple_of(lat_y + ky * sh, sh)
+        band_ref[:] = src_ref[:, pl.ds(o_k, sh), :].reshape(c4 * sh, w_pad)
 
         def micro_body(m, _):
             x = x_ref[pl.ds(m, 1), :]                   # [1, MICRO]
@@ -138,17 +144,17 @@ def _fwd_kernel(h: int, w: int, w_pad: int, src_ref, x_ref, y_ref,
                     t1 = jax.lax.dot_general(
                         sub, oh1, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
-                    # flat-2D combines (rows = c*_SH + y, c-major)
+                    # flat-2D combines (rows = c*sh + y, c-major)
                     mix_i = (1.0 - tx) * t0[:ci] + tx * t1[:ci]
                     mix_m = (1.0 - px1) * t0[ci:] + px1 * t1[ci:]
                     img = jnp.sum(
-                        (mix_i * wy_val3).reshape(_C, _SH, _MICRO), axis=1)
+                        (mix_i * wy_val3).reshape(_C, sh, _MICRO), axis=1)
                     msk = jnp.sum(mix_m * wy_near, axis=0, keepdims=True)
                     ddx = jnp.sum(
-                        ((t1 - t0)[:ci] * wy_val3).reshape(_C, _SH, _MICRO),
+                        ((t1 - t0)[:ci] * wy_val3).reshape(_C, sh, _MICRO),
                         axis=1)
                     ddy = jnp.sum(
-                        (mix_i * wy_dot3).reshape(_C, _SH, _MICRO), axis=1)
+                        (mix_i * wy_dot3).reshape(_C, sh, _MICRO), axis=1)
 
                     sl = pl.ds(pl.multiple_of(m * _MICRO, _MICRO), _MICRO)
                     out_ref[:, sl] += jnp.concatenate([img, msk], 0)
@@ -192,9 +198,10 @@ def _from_patches(a, h, w):
 def _prep(img, mask, coords, layout="strip"):
     """-> (src [B, C+1, H, Wp] bf16, x, y [B, Np/_MICRO, _MICRO] f32, n, np)."""
     b, h, w, c = img.shape
+    sh = _SH[layout]
     assert c == _C, f"warp_mxu expects {_C} image channels, got {c}"
-    assert h >= _SH and h % _SH == 0, (
-        f"warp_mxu needs H a multiple of {_SH}, got {h}")
+    assert h >= sh and h % sh == 0, (
+        f"warp_mxu needs H a multiple of {sh}, got {h}")
     src = jnp.concatenate([img, mask.astype(img.dtype)], axis=-1)
     src = jnp.transpose(src, (0, 3, 1, 2)).astype(jnp.bfloat16)
     # pad W to a multiple of the x-window so the window lattice never
@@ -229,12 +236,12 @@ def _prep(img, mask, coords, layout="strip"):
     return src, x, y, n, n_pad
 
 
-def _fwd_call(src, x, y, h, w, w_pad, n_pad):
+def _fwd_call(src, x, y, h, w, w_pad, n_pad, sh):
     b = src.shape[0]
     rows = _BLOCK_T // _MICRO
     grid = (b, n_pad // _BLOCK_T)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, h, w, w_pad),
+        functools.partial(_fwd_kernel, h, w, w_pad, sh),
         grid=grid,
         in_specs=[
             pl.BlockSpec((None, _C + 1, h, w_pad), lambda i, j: (i, 0, 0, 0),
@@ -258,7 +265,7 @@ def _fwd_call(src, x, y, h, w, w_pad, n_pad):
             jax.ShapeDtypeStruct((b, _C, n_pad), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM(((_C + 1) * _SH, w_pad), jnp.bfloat16)],
+            pltpu.VMEM(((_C + 1) * sh, w_pad), jnp.bfloat16)],
         interpret=(jax.default_backend() != "tpu"),
     )(src, x, y)
 
@@ -266,7 +273,8 @@ def _fwd_call(src, x, y, h, w, w_pad, n_pad):
 def _run(img, mask, coords, layout):
     h, w = img.shape[1], img.shape[2]
     src, x, y, n, n_pad = _prep(img, mask, coords, layout)
-    out, ddx, ddy = _fwd_call(src, x, y, h, w, src.shape[-1], n_pad)
+    out, ddx, ddy = _fwd_call(src, x, y, h, w, src.shape[-1], n_pad,
+                              _SH[layout])
     if layout == "patch" and _patchable(h, w, coords.shape[1]):
         # back to canonical row-major order (residuals included, so the
         # backward dot needs no permutation)
