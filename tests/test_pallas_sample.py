@@ -93,7 +93,7 @@ def test_pallas_masked_sampler_matches_separate_ops():
 
 
 def test_backproject_fused_epilogue():
-    """sample_backproject_pallas = [feat * valid, rel * valid, valid] with
+    """sample_backproject_pallas = ([feat * valid, rel * valid], valid) with
     valid = nearest mask > 0.5 — the kernel-side fold of the
     back-projection's per-point epilogue. Values and gradients must equal
     the unfused composition."""
@@ -108,12 +108,12 @@ def test_backproject_fused_epilogue():
     coords = jnp.asarray(coords)
     rel = jnp.asarray(rng.randn(b, n).astype(np.float32))
 
-    out = sample_backproject_pallas(img, mask, coords, rel)
-    assert out.shape == (b, n, c + 2)
+    out, valid_out = sample_backproject_pallas(img, mask, coords, rel)
+    assert out.shape == (b, n, c + 1) and valid_out.shape == (b, n)
     feat_ref = sample_bilinear_pallas(img, coords)
     m_ref = grid_sample_2d(mask, coords, mode="nearest")[..., 0]
     valid_ref = (np.asarray(m_ref) > 0.5).astype(np.float32)
-    np.testing.assert_allclose(np.asarray(out[..., -1]), valid_ref, atol=0)
+    np.testing.assert_allclose(np.asarray(valid_out), valid_ref, atol=0)
     np.testing.assert_allclose(
         np.asarray(out[..., :c]),
         np.asarray(feat_ref) * valid_ref[..., None], atol=1e-5)
@@ -124,7 +124,7 @@ def test_backproject_fused_epilogue():
     # image gradient: masked rows contribute nothing
     def loss_fused(i):
         return jnp.sum(sample_backproject_pallas(
-            i, mask, coords, rel)[..., :c].astype(jnp.float32) ** 2)
+            i, mask, coords, rel)[0][..., :c].astype(jnp.float32) ** 2)
 
     def loss_ref(i):
         s = sample_bilinear_pallas(i, coords)
@@ -133,3 +133,24 @@ def test_backproject_fused_epilogue():
     gi = jax.grad(loss_fused)(img)
     gi_ref = jax.grad(loss_ref)(img)
     np.testing.assert_allclose(np.asarray(gi), np.asarray(gi_ref), atol=1e-4)
+
+
+def test_pallas_backward_grid_channel_chunks():
+    """C > 256 exercises the grid channel-chunk axis of the backward kernel
+    (each chunk accumulates independently; results must equal a narrow-C
+    reference run column-for-column)."""
+    rng = np.random.RandomState(5)
+    h, w, c, n = 16, 16, 320, 200
+    img = jnp.asarray(rng.randn(1, h, w, c).astype(np.float32))
+    coords = jnp.asarray(rng.uniform(-1.1, 1.1, (1, n, 2)).astype(np.float32))
+    gct = jnp.asarray(rng.randn(1, n, c).astype(np.float32))
+
+    _, vjp = jax.vjp(lambda i: sample_bilinear_pallas(i, coords), img)
+    (dimg,) = vjp(gct)
+    # per-column reference: run the same VJP on 128-channel slices
+    for o in range(0, c, 128):
+        _, vjp_s = jax.vjp(
+            lambda i: sample_bilinear_pallas(i, coords), img[..., o:o + 128])
+        (dref,) = vjp_s(gct[..., o:o + 128])
+        np.testing.assert_allclose(np.asarray(dimg[..., o:o + 128]),
+                                   np.asarray(dref), atol=1e-4)

@@ -49,9 +49,25 @@ def test_vol_gradient_matches_autodiff():
     vol = _rand(rng, 2, 3, 4, 5, 2)
     coords = jnp.asarray(rng.uniform(-1.2, 1.2, (2, 6, 7, 3)).astype(np.float32))
     g_auto = jax.grad(lambda v: jnp.sum(grid_sample_3d(v, coords) ** 2))(vol)
-    g_packed = jax.grad(lambda v: jnp.sum(grid_sample_3d_packed(v, coords) ** 2))(vol)
+    g_packed = jax.grad(lambda v: jnp.sum(
+        grid_sample_3d_packed(v, coords, "f32") ** 2))(vol)
     np.testing.assert_allclose(np.asarray(g_packed), np.asarray(g_auto),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_vol_gradient_bf16_updates_close():
+    """The default bf16 backward-scatter updates quantize each tap product
+    to ~2^-8 relative; the aggregate gradient must stay essentially parallel
+    to the exact one (this is the default in-model configuration)."""
+    rng = np.random.RandomState(5)
+    vol = _rand(rng, 1, 4, 6, 6, 8)
+    coords = jnp.asarray(rng.uniform(-1.1, 1.1, (1, 500, 3)).astype(np.float32))
+    loss = lambda v, gd: jnp.sum(grid_sample_3d_packed(v, coords, gd) ** 2)
+    g32 = np.asarray(jax.grad(loss)(vol, "f32")).ravel()
+    g16 = np.asarray(jax.grad(loss)(vol, "bf16")).ravel()
+    cos = g32 @ g16 / (np.linalg.norm(g32) * np.linalg.norm(g16) + 1e-12)
+    assert cos > 0.9999, cos
+    np.testing.assert_allclose(g16, g32, atol=2e-2, rtol=2e-2)
 
 
 def test_coord_gradient_is_zero():

@@ -1,8 +1,9 @@
 """MXU warp kernel == gather warp (ops/warp_quad) — values and gradients.
 
-The kernel's only quantization vs the f32 gather path is bf16 rounding of
-the source values, so on bf16-representable inputs the two paths must agree
-to f32 accumulation noise. Runs the Pallas interpreter on CPU.
+The kernel quantizes vs the f32 gather path in two places: bf16 rounding
+of the source values, and bf16 rounding of the outputs / d-dx,d-dy residual
+maps (one ulp ~ 0.4% relative, zero-mean). On bf16-representable inputs the
+two paths must agree to those bounds. Runs the Pallas interpreter on CPU.
 """
 import numpy as np
 import jax
@@ -35,7 +36,7 @@ def test_mxu_matches_quad_values():
     iq, mq = warp_image_mask_quad(img, mask, coords)
     im, mm = warp_image_mask_mxu(img, mask, coords)
     np.testing.assert_allclose(np.asarray(im), np.asarray(iq),
-                               atol=2e-5, rtol=1e-4)
+                               atol=4e-3, rtol=4e-3)
     np.testing.assert_allclose(np.asarray(mm), np.asarray(mq), atol=1e-6)
 
 
@@ -45,7 +46,7 @@ def test_mxu_matches_quad_values_nonmultiple_n():
     iq, mq = warp_image_mask_quad(img, mask, coords)
     im, mm = warp_image_mask_mxu(img, mask, coords)
     np.testing.assert_allclose(np.asarray(im), np.asarray(iq),
-                               atol=2e-5, rtol=1e-4)
+                               atol=4e-3, rtol=4e-3)
     np.testing.assert_allclose(np.asarray(mm), np.asarray(mq), atol=1e-6)
 
 
@@ -60,10 +61,16 @@ def test_mxu_coordinate_gradients_match_quad():
         iw, mw = warp_image_mask_mxu(img, mask, c)
         return jnp.sum(iw ** 2) + jnp.sum(mw * 0.25)
 
-    gq = jax.grad(loss_quad)(coords)
-    gm = jax.grad(loss_mxu)(coords)
-    np.testing.assert_allclose(np.asarray(gm), np.asarray(gq),
-                               atol=1e-3, rtol=2e-3)
+    gq = np.asarray(jax.grad(loss_quad)(coords))
+    gm = np.asarray(jax.grad(loss_mxu)(coords))
+    # ddx/ddy residuals are bf16 (zero-mean ~0.4% relative rounding before
+    # the 0.5*(dim-1) pixel scaling): bound per-entry error by a fraction
+    # of the gradient's overall scale and require near-parallel aggregates
+    scale = np.abs(gq).max()
+    np.testing.assert_allclose(gm, gq, atol=2e-2 * scale, rtol=2e-2)
+    cos = (gq.ravel() @ gm.ravel()) / (
+        np.linalg.norm(gq) * np.linalg.norm(gm) + 1e-12)
+    assert cos > 0.9995, cos
 
 
 def test_mxu_wide_y_span():
@@ -78,7 +85,7 @@ def test_mxu_wide_y_span():
     iq, mq = warp_image_mask_quad(img, mask, coords)
     im, mm = warp_image_mask_mxu(img, mask, coords)
     np.testing.assert_allclose(np.asarray(im), np.asarray(iq),
-                               atol=2e-5, rtol=1e-4)
+                               atol=4e-3, rtol=4e-3)
     np.testing.assert_allclose(np.asarray(mm), np.asarray(mq), atol=1e-6)
 
 
@@ -126,7 +133,7 @@ def test_ceil_tap_on_band_boundary():
     iq, mq = warp_image_mask_quad(img, mask, coords)
     im, mm = warp_image_mask_mxu(img, mask, coords)
     np.testing.assert_allclose(np.asarray(im), np.asarray(iq),
-                               atol=2e-5, rtol=1e-4)
+                               atol=4e-3, rtol=4e-3)
     np.testing.assert_allclose(np.asarray(mm), np.asarray(mq), atol=1e-6)
 
 
@@ -140,7 +147,10 @@ def test_patch_layout_equals_strip():
 
     is_, ms_ = warp_image_mask_mxu(img, mask, coords, layout="strip")
     ip, mp = warp_image_mask_mxu(img, mask, coords, layout="patch")
-    np.testing.assert_allclose(np.asarray(ip), np.asarray(is_), atol=1e-4)
+    # outputs are bf16 (one ulp ~ 0.008 at |x|~1): accumulation-order
+    # differences between the 16- and 32-row band heights can round to
+    # adjacent bf16 values
+    np.testing.assert_allclose(np.asarray(ip), np.asarray(is_), atol=1e-2)
     np.testing.assert_array_equal(np.asarray(mp), np.asarray(ms_))
 
     def loss(c, layout):
@@ -150,4 +160,4 @@ def test_patch_layout_equals_strip():
     gs = jax.grad(lambda c: loss(c, "strip"))(coords)
     gp = jax.grad(lambda c: loss(c, "patch"))(coords)
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gs),
-                               atol=1e-4, rtol=1e-4)
+                               atol=1e-2, rtol=1e-2)

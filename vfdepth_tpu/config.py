@@ -161,7 +161,8 @@ def get_config(path: str, mode: str = "train", weight_path: Optional[str] = None
     tpu.setdefault("prefetch_depth", 2)        # device prefetch buffer
     tpu.setdefault("use_pallas", True)         # pallas samplers on TPU backend
     # sampler_2d: 'auto'|'pallas'|'matmul'|'gather' (None -> derived from
-    # use_pallas); sampler_3d: 'packed'|'gather'
+    # use_pallas); sampler_3d: 'packed' (bf16 backward-scatter updates) |
+    # 'packed_f32grad' (exact f32 accumulation) | 'gather'
     tpu.setdefault("sampler_2d", None)
     tpu.setdefault("sampler_3d", "packed")
     tpu.setdefault("batch_pose_frames", True)  # one pose pass for all frames

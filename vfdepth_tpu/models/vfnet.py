@@ -125,24 +125,28 @@ class VFNet(nn.Module):
         vox = voxel_points_homo(self.voxel_str_p, self.voxel_unit_size,
                                 self.voxel_size, geo)  # [4, n]
 
-        # voxels -> each camera frame (reference :132-133)
-        v_local = jnp.einsum("bcij,jn->bcin",
+        # voxels -> each camera frame (reference :132-133). Both einsums
+        # emit POINT-major [b, cams, n, 3] directly (the dot writes its N
+        # dim outermost) — a coordinate-major [.., 3, n] layout needed
+        # [6, 200k]-row transpose copies before every elementwise consumer
+        # (~3 ms/step at DDAD shapes).
+        v_local = jnp.einsum("bcij,jn->bcni",
                              extrinsics_inv[..., :3, :].astype(geo), vox)
 
         # pinhole projection + align_corners NDC (reference :166-181)
-        cam_pts = jnp.einsum("bcij,bcjn->bcin",
+        cam_pts = jnp.einsum("bcij,bcnj->bcni",
                              intrinsics[..., :3, :3].astype(geo), v_local)
-        z = cam_pts[..., 2:3, :]
-        xy = cam_pts[..., :2, :] / (z + 1e-8)
+        z = cam_pts[..., 2:3]
+        xy = cam_pts[..., :2] / (z + 1e-8)
         xy = jnp.nan_to_num(xy, nan=2.0 * w_dim, posinf=2.0 * w_dim, neginf=-2.0 * w_dim)
         xy = jnp.clip(xy, -2.0 * w_dim, 2.0 * w_dim)
         scale = jnp.array([2.0 / (w_dim - 1), 2.0 / (h_dim - 1)], dtype=geo)
-        pix = jnp.moveaxis(xy * scale[:, None] - 1.0, -2, -1)  # [b, cams, n, 2]
+        pix = xy * scale - 1.0                    # [b, cams, n, 2]
 
         # validity: occlusion mask (nearest), in-front, in-bounds (:183-195);
         # no gradient flows through the mask (it's an input)
         mask_lowres = resize_bilinear(mask, (h_dim, w_dim), align_corners=True)
-        in_front = v_local[..., 2, :] > 0
+        in_front = v_local[..., 2] > 0
         in_bounds = jnp.all((pix >= -1.0) & (pix <= 1.0), axis=-1)
         # Sanitize coords of points that `valid` zeroes anyway (behind-camera
         # mirror projections land IN-image and out-of-bounds points still
@@ -169,16 +173,18 @@ class VFNet(nn.Module):
             # tensors through XLA elementwise passes)
             from ..ops.pallas_sample import sample_backproject_pallas
             b_, cams_ = feats_agg.shape[:2]
-            rel_depth_pts = (v_local[..., 2, :]
+            rel_depth_pts = (v_local[..., 2]
                              / self.voxel_size[0]).astype(geo)
-            fm = sample_backproject_pallas(
+            fv, vv = sample_backproject_pallas(
                 feats_agg.reshape((b_ * cams_,) + feats_agg.shape[2:]),
                 mask_lowres.reshape((b_ * cams_,) + mask_lowres.shape[2:]),
                 pix.reshape(b_ * cams_, -1, 2),
                 rel_depth_pts.reshape(b_ * cams_, -1),
-            ).reshape(pix.shape[:3] + (feats_agg.shape[-1] + 2,))
-            feat = fm[..., :-1].astype(dtype)     # [.., C+1] masked, incl rel
-            valid = jax.lax.stop_gradient(fm[..., -1]).astype(dtype)
+            )
+            feat = fv.reshape(
+                pix.shape[:3] + (feats_agg.shape[-1] + 1,)).astype(dtype)
+            valid = jax.lax.stop_gradient(vv).reshape(
+                pix.shape[:3]).astype(dtype)
             count = jnp.sum(valid, axis=1)        # [b, n]
             return feat, valid, count
         elif sampler == "matmul":
@@ -197,7 +203,7 @@ class VFNet(nn.Module):
                 grid_sample_2d(mask_lowres, pix, mode="nearest"))[..., 0]
         valid = ((m > 0.5) & in_front & in_bounds).astype(dtype)  # [b, cams, n]
         # append normalized camera-frame depth as a feature (:145)
-        rel_depth = (v_local[..., 2, :][..., None] / self.voxel_size[0]).astype(dtype)
+        rel_depth = (v_local[..., 2:3] / self.voxel_size[0]).astype(dtype)
         feat = jnp.concatenate([feat, rel_depth], axis=-1) * valid[..., None]
 
         count = jnp.sum(valid, axis=1)  # [b, n]
@@ -216,16 +222,43 @@ class VFNet(nn.Module):
         g1 = [c for c in g1 if c < self.num_cams]
         g2 = [c for c in g2 if c < self.num_cams]
         # static per-camera slices + adds (advanced indexing with a traced
-        # index array lowers to a loop-carried gather on TPU; this fuses)
-        def _group_sum(idx):
-            if not idx:
-                return jnp.zeros(feat.shape[:1] + feat.shape[2:], dtype)
-            s = feat[:, idx[0]]
-            for cam in idx[1:]:
-                s = s + feat[:, cam]
-            return s
-        feat1 = _group_sum(g1)
-        feat2 = _group_sum(g2)
+        # index array lowers to a loop-carried gather on TPU; this fuses).
+        # custom VJP: the slice-adds' autodiff backward is one zero-pad +
+        # add pass PER CAMERA over [b, n, C] (~4.6 ms/step at DDAD shapes);
+        # the true cotangent is just "each camera reads its group's grad" —
+        # a single stack.
+        n_cams = self.num_cams
+
+        @jax.custom_vjp
+        def _group_sums(f):
+            def one(idx):
+                if not idx:
+                    return jnp.zeros(f.shape[:1] + f.shape[2:], f.dtype)
+                s = f[:, idx[0]]
+                for cam in idx[1:]:
+                    s = s + f[:, cam]
+                return s
+            return one(g1), one(g2)
+
+        def _gs_fwd(f):
+            return _group_sums(f), ()
+
+        def _gs_bwd(_, g):
+            d1, d2 = g
+
+            def per_cam(cam):
+                if cam in g1 and cam in g2:
+                    return d1 + d2
+                if cam in g1:
+                    return d1
+                if cam in g2:
+                    return d2
+                return jnp.zeros_like(d1)
+            return (jnp.stack([per_cam(cam) for cam in range(n_cams)],
+                              axis=1),)
+
+        _group_sums.defvjp(_gs_fwd, _gs_bwd)
+        feat1, feat2 = _group_sums(feat)
         # the two static groups partition the cameras, so the all-camera sum
         # is their sum — one fewer full pass over the [b, cams, n, C] stream
         total = (feat1 + feat2 if sorted(g1 + g2) == list(range(self.num_cams))
@@ -278,11 +311,16 @@ class VFNet(nn.Module):
         # consume — the d-major order needed a 1.15M x 64 transpose copy on
         # both sides of the sampler (~4.5 ms/step fwd + the same in bwd).
         ndc_pm = jnp.swapaxes(ndc, -3, -2)  # [b, cams, P, d, 3]
-        if self.sampler_3d == "packed":
+        if self.sampler_3d in ("packed", "packed_f32grad"):
             # ONE wide-row gather/scatter per point (8x fewer rows than the
-            # 8-tap form; ~150 ms -> ~25 ms backward on v5e, docs/PERF.md)
+            # 8-tap form; ~150 ms -> ~25 ms backward on v5e, docs/PERF.md).
+            # 'packed' uses bf16 scatter updates in the backward (halves the
+            # dominant HBM stream; grad cosine vs f32 > 0.9999);
+            # 'packed_f32grad' restores exact f32 accumulation.
+            gdt = "f32" if self.sampler_3d == "packed_f32grad" else "bf16"
             sampled = grid_sample_3d_packed(
-                vol, ndc_pm.reshape(b, -1, 3)).reshape(ndc_pm.shape[:-1] + (c,))
+                vol, ndc_pm.reshape(b, -1, 3),
+                gdt).reshape(ndc_pm.shape[:-1] + (c,))
         elif self.sampler_3d == "gather":
             sampled = grid_sample_3d_nocoordgrad(vol, ndc_pm)  # [b, cams, P, d, C]
         else:

@@ -203,23 +203,35 @@ def _fwd_kernel(h: int, w: int, sb: int, with_mask: bool, fold_valid: bool,
     jax.lax.fori_loop(0, _SUPER, body, 0)
 
 
-def _bwd_kernel(h: int, w: int, sb: int, n_valid: int, g_ref, coords_ref,
-                out_ref, acc_ref):
-    """g [BLOCK_N, C]; out (bf16) [h*w, C]; acc (f32 scratch) [h*w, C].
+def _bwd_kernel(h: int, w: int, sb: int, n_valid: int, with_valid: bool,
+                g_ref, coords_ref, *rest):
+    """g [BLOCK_N, Cb]; out (bf16) [h*w, Cb]; acc (f32 scratch) [h*w, Cb].
 
-    The accumulator lives in single-buffered scratch (persists across the
-    sequential grid); the pipelined output block only receives the final
-    value, halving peak VMEM vs accumulating in the (double-buffered) output.
-    The transposed W is built band-by-band and accumulated into the band's
-    rows only — a dim-0-contraction with a full-height W made Mosaic emit a
-    2 MB transpose per sub-tile before this."""
-    step = pl.program_id(1)
+    Grid is (b, c_chunks, n_tiles): wide-C calls are chunked by the GRID
+    (BlockSpecs slice the channel axis) instead of by the caller — the
+    caller-side g slices materialized a full extra copy of g (~3.7 ms/step
+    at DDAD shapes). The accumulator lives in single-buffered scratch
+    (persists across the sequential tile axis; reset at tile 0, flushed at
+    the last tile); the pipelined output block only receives the final
+    value, halving peak VMEM vs accumulating in the (double-buffered)
+    output. The transposed W is built band-by-band and accumulated into the
+    band's rows only — a dim-0-contraction with a full-height W made Mosaic
+    emit a 2 MB transpose per sub-tile before this.
+
+    with_valid: an extra [BLOCK_N, 1] bf16 input gates g rows (the
+    back-projection's validity mask — folding it here replaces a
+    [cams, N, C]-sized XLA elementwise pass)."""
+    if with_valid:
+        valid_ref, out_ref, acc_ref = rest
+    else:
+        out_ref, acc_ref = rest
+    step = pl.program_id(2)
 
     @pl.when(step == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    blk = pl.program_id(1)
+    blk = step
 
     def body(k, _):
         sl = pl.ds(k * _TILE_N, _TILE_N)
@@ -233,6 +245,8 @@ def _bwd_kernel(h: int, w: int, sb: int, n_valid: int, g_ref, coords_ref,
         # the undefined tail rows of g can be NaN: 0-weight x NaN = NaN in
         # the dot, so zero them explicitly as well
         g = jnp.where(ok, g_ref[sl, :], 0)
+        if with_valid:
+            g = g * valid_ref[sl, :]
 
         def seg(s, _):
             o_kw = pl.multiple_of((lat + s * sb) * w, sb * w)
@@ -247,7 +261,7 @@ def _bwd_kernel(h: int, w: int, sb: int, n_valid: int, g_ref, coords_ref,
 
     jax.lax.fori_loop(0, _SUPER, body, 0)
 
-    @pl.when(step == pl.num_programs(1) - 1)
+    @pl.when(step == pl.num_programs(2) - 1)
     def _():
         out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
@@ -302,40 +316,52 @@ def _fwd_call(img_flat: jnp.ndarray, coords: jnp.ndarray, h: int, w: int,
     )(*args)
 
 
-def _bwd_call(g: jnp.ndarray, coords: jnp.ndarray, h: int, w: int):
-    """g [B, N, C] -> dimg_flat [B, h*w, C].
+def _bwd_call(g: jnp.ndarray, coords: jnp.ndarray, h: int, w: int,
+              c: int | None = None, valid: jnp.ndarray | None = None):
+    """g [B, N, C_in] -> dimg_flat [B, h*w, c] (c defaults to C_in; pass
+    c < C_in to ignore trailing cotangent columns — e.g. the fused
+    back-projection's rel-depth/valid passthrough channels).
 
-    C is chunked at 256: the kernel's scoped-VMEM footprint (f32 accumulator
-    scratch + per-band dot temporaries) scales with C and exceeds the 16 MB
-    scoped limit near C=512 at DDAD shapes. Chunking re-runs the (cheap,
-    C-independent) W-build per chunk but keeps every chunk comfortably
-    resident; rows/MACs are unchanged."""
-    c_all = g.shape[-1]
-    if c_all > 256:
-        parts = [
-            _bwd_call(g[..., o:o + 256], coords, h, w)
-            for o in range(0, c_all, 256)]
-        return jnp.concatenate(parts, axis=-1)
-    b, n, c = g.shape
+    C is chunked at 256 *by the grid* (a channel axis in the BlockSpecs):
+    the kernel's scoped-VMEM footprint (f32 accumulator scratch + per-band
+    dot temporaries) scales with the chunk width and exceeds the 16 MB
+    scoped limit near C=512 at DDAD shapes. The W-build re-runs per chunk
+    (cheap, C-independent); rows/MACs are unchanged, and no caller-side g
+    slice/copy is materialized.
+
+    valid [B, N]: optional per-point gate multiplied into g in-kernel."""
+    b, n, c_in = g.shape
+    if c is None:
+        c = c_in
+    cb = min(c, 256)                 # channel chunk width
+    n_cc = -(-c // cb)               # channel chunks (block-padded if ragged)
     n_tiles = -(-n // _BLOCK_N)      # grid need not divide n (tail masked)
 
     g = g.astype(jnp.bfloat16)  # halves the VMEM block (accumulator stays f32)
     hp = _pad_rows(h) * w
+    in_specs = [
+        pl.BlockSpec((None, _BLOCK_N, cb), lambda i, k, j: (i, j, k),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((None, _BLOCK_N, 2), lambda i, k, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [g, coords]
+    if valid is not None:
+        args.append(valid[..., None].astype(jnp.bfloat16))
+        in_specs.append(
+            pl.BlockSpec((None, _BLOCK_N, 1), lambda i, k, j: (i, j, 0),
+                         memory_space=pltpu.VMEM))
     out = pl.pallas_call(
-        functools.partial(_bwd_kernel, h, w, _band_rows(h), n),
-        grid=(b, n_tiles),
-        in_specs=[
-            pl.BlockSpec((None, _BLOCK_N, c), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, _BLOCK_N, 2), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((None, hp, c), lambda i, j: (i, 0, 0),
+        functools.partial(_bwd_kernel, h, w, _band_rows(h), n,
+                          valid is not None),
+        grid=(b, n_cc, n_tiles),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((None, hp, cb), lambda i, k, j: (i, 0, k),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, hp, c), jnp.bfloat16),
-        scratch_shapes=[pltpu.VMEM((hp, c), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((hp, cb), jnp.float32)],
         interpret=(jax.default_backend() != "tpu"),
-    )(g, coords)
+    )(*args)
     return out[:, :h * w]
 
 
@@ -382,7 +408,7 @@ def _pallas_sample_masked_bwd(res, g):
     h, w = img_shape[-3], img_shape[-2]
     # the nearest mask channel carries no gradient (validity is a
     # stop-gradient input in the reference, volumetric_fusionnet.py:183-195)
-    dimg_flat = _bwd_call(g[..., :img_shape[-1]], coords, h, w)
+    dimg_flat = _bwd_call(g, coords, h, w, c=img_shape[-1])
     return (dimg_flat.reshape(img_shape).astype(g.dtype),
             jnp.zeros(mask_shape, g.dtype), jnp.zeros_like(coords))
 
@@ -418,27 +444,33 @@ def sample_bilinear_with_nearest_mask_pallas(
 def _pallas_backproject(img, mask, coords3):
     h, w = img.shape[-3], img.shape[-2]
     img_flat = img.reshape(img.shape[0], h * w, img.shape[-1])
-    return _fwd_call(img_flat, coords3, h, w, mask2d=mask[..., 0],
-                     fold_valid=True).astype(img.dtype)
+    fm = _fwd_call(img_flat, coords3, h, w, mask2d=mask[..., 0],
+                   fold_valid=True).astype(img.dtype)
+    # split INSIDE the custom_vjp: a caller-side `fm[..., :-1]` slice makes
+    # XLA pad the cotangent back to C+2 with a full [cams, N, C+2] pass
+    # (~7 ms/step at DDAD shapes); as separate outputs the backward consumes
+    # the feature cotangent directly.
+    return fm[..., :-1], fm[..., -1]
 
 
 def _pallas_backproject_fwd(img, mask, coords3):
-    out = _pallas_backproject(img, mask, coords3)
+    feat, valid = _pallas_backproject(img, mask, coords3)
     # valid (exact bf16 0/1) gates the backward: dL/dimg = W^T (g * valid)
-    return out, (coords3, out[..., -1], img.shape, mask.shape)
+    return (feat, valid), (coords3, valid, img.shape, mask.shape)
 
 
 def _pallas_backproject_bwd(res, g):
     coords3, valid, img_shape, mask_shape = res
+    g_feat, _ = g        # valid is stop-gradient at every caller
     h, w = img_shape[-3], img_shape[-2]
     c = img_shape[-1]
-    # only the feature channels carry image gradient; rel/valid channels are
-    # input passthroughs (no parameters behind them). The valid gate fuses
-    # into whatever elementwise op produces g.
-    gv = g[..., :c] * valid[..., None].astype(g.dtype)
-    dimg_flat = _bwd_call(gv, coords3[..., :2], h, w)
-    return (dimg_flat.reshape(img_shape).astype(g.dtype),
-            jnp.zeros(mask_shape, g.dtype), jnp.zeros_like(coords3))
+    # only the feature channels carry image gradient; the rel channel is an
+    # input passthrough (no parameters behind it). The valid gate and the
+    # channel truncation both happen inside the kernel — no [cams, N, C]
+    # caller-side pass.
+    dimg_flat = _bwd_call(g_feat, coords3[..., :2], h, w, c=c, valid=valid)
+    return (dimg_flat.reshape(img_shape).astype(g_feat.dtype),
+            jnp.zeros(mask_shape, g_feat.dtype), jnp.zeros_like(coords3))
 
 
 _pallas_backproject.defvjp(_pallas_backproject_fwd, _pallas_backproject_bwd)
@@ -453,9 +485,9 @@ def sample_backproject_pallas(img: jnp.ndarray, mask: jnp.ndarray,
     with invalid points (behind camera / out of bounds) pre-sanitized out of
     tap range by the caller; rel: [B, N] per-point rel-depth feature.
 
-    Returns [B, N, C+2] = [feat * valid, rel * valid, valid] where
-    valid = nearest-sampled mask > 0.5 (exactly the masked feature tensor of
-    ``VFNet.backproject_into_voxel``, reference
+    Returns ([B, N, C+1], [B, N]) = ([feat * valid, rel * valid], valid)
+    where valid = nearest-sampled mask > 0.5 (exactly the masked feature
+    tensor of ``VFNet.backproject_into_voxel``, reference
     ``network/volumetric_fusionnet.py:183-195``). Gradient flows to img only.
     """
     coords3 = jnp.concatenate(

@@ -27,6 +27,8 @@ are functions of calibration constants in the reprojection).
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -104,6 +106,14 @@ def _shift_fwd(a: jnp.ndarray, axis: int, delta: int) -> jnp.ndarray:
 
 _TAPS = [(dy, dx, dz) for dy in (0, 1) for dx in (0, 1) for dz in (0, 1)]
 
+# Backward scatter update dtype. The oct scatter reads its update rows once
+# and accumulates ~6 collisions per voxel; bf16 updates halve the dominant
+# HBM stream (2.36 GB -> 1.18 GB of update rows at DDAD shapes) at a ~2^-8
+# relative quantization of each tap contribution — measured gradient cosine
+# vs the f32 path > 0.9999 (tests/test_sample3d_packed.py). "f32" restores
+# exact accumulation (config `tpu: sampler_3d: packed_f32grad`).
+_GRAD_DTYPES = {"bf16": jnp.bfloat16, "f32": jnp.float32}
+
 
 def _build_oct(vol_t: jnp.ndarray) -> jnp.ndarray:
     """vol_t [B, H, W, D, C] -> [B, H*W*D, 8*C] with the 8 shifted copies
@@ -119,12 +129,15 @@ def _build_oct(vol_t: jnp.ndarray) -> jnp.ndarray:
     return oct.reshape(b, h * w * d, 8 * c)
 
 
-@jax.custom_vjp
-def grid_sample_3d_packed(vol: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def grid_sample_3d_packed(vol: jnp.ndarray, coords: jnp.ndarray,
+                          grad_dtype: str = "bf16") -> jnp.ndarray:
     """Trilinear sample (zeros padding, align_corners) with packed rows.
 
     vol: [B, D, H, W, C] (D = z, H = y, W = x — torch 3D grid_sample layout).
     coords: [B, *pts, 3] with last dim (x, y, z) in [-1, 1].
+    grad_dtype: "bf16" (default; halves the backward scatter's update
+    stream) or "f32" (exact accumulation) — see _GRAD_DTYPES.
     Returns [B, *pts, C]. Gradient flows to vol only (coords are constants
     in the voxel->frustum reprojection).
     """
@@ -138,7 +151,11 @@ def _packed_fwd_impl(vol, coords):
     vol_t = jnp.moveaxis(vol, 1, 3)  # [B, H, W, D, C]
     oct = _build_oct(vol_t)
     idx, wgt = _tap_index_weights(coords_flat, d, h, w)
-    rows = jnp.take_along_axis(oct, idx[..., None], axis=1)  # [B, N, 8C]
+    # bases clamp per-axis to [0, size-2] so the flat index is always in
+    # bounds — promising it skips XLA's out-of-bounds select pass over the
+    # [N, 8C] gather output (~3.6 ms/step at DDAD shapes)
+    rows = jnp.take_along_axis(oct, idx[..., None], axis=1,
+                               mode="promise_in_bounds")  # [B, N, 8C]
     # combine as 8 last-dim slices + fma (a [N, 8, c] reshape view makes
     # XLA materialize a transposed copy of the 0.6 GB gather output)
     out = None
@@ -148,35 +165,39 @@ def _packed_fwd_impl(vol, coords):
     return out.reshape((b,) + pts_shape + (c,))
 
 
-def _packed_fwd(vol, coords):
+def _packed_fwd(vol, coords, grad_dtype):
+    # (custom_vjp fwd gets args in original order; bwd gets nondiff first)
     return _packed_fwd_impl(vol, coords), (coords, vol.shape)
 
 
-def _packed_bwd(res, g):
+def _packed_bwd(grad_dtype, res, g):
     coords, vol_shape = res
     b, d, h, w, c = vol_shape
+    acc_dtype = _GRAD_DTYPES[grad_dtype]
     coords_flat = coords.reshape(b, -1, 3)
     n = coords_flat.shape[1]
     g_flat = g.reshape(b, n, c)
     idx, wgt = _tap_index_weights(coords_flat, d, h, w)
-    # updates stay f32: the scatter accumulates many collisions per voxel.
     # Build [n, 8c] by concatenating the 8 per-tap products: each product
     # is an elementwise [n, c] fusion and the concat writes the scatter's
     # row-major layout directly. (Both the repeat/tile form and the
     # [n, 8, c] broadcast form made XLA materialize a column-major
     # intermediate and transpose-copy 2.3 GB into the scatter layout —
-    # ~7+4 ms/step at DDAD shapes.)
+    # ~7+4 ms/step at DDAD shapes.) The products are computed in f32 and
+    # rounded once to acc_dtype (see _GRAD_DTYPES on the bf16 default).
     gf = g_flat.astype(jnp.float32)
     wf = wgt.astype(jnp.float32)
-    updates = jnp.concatenate([wf[..., t:t + 1] * gf for t in range(8)],
-                              axis=-1)
-    acc = jnp.zeros((b, h * w * d, 8 * c), jnp.float32)
+    updates = jnp.concatenate(
+        [(wf[..., t:t + 1] * gf).astype(acc_dtype) for t in range(8)],
+        axis=-1)
+    acc = jnp.zeros((b, h * w * d, 8 * c), acc_dtype)
     acc = jax.vmap(lambda a, i, u: a.at[i].add(u))(acc, idx, updates)
     acc = acc.reshape(b, h, w, d, 8, c)
     # fold the 8 tap planes back into vol layout with dense shift-adds
+    # (f32 accumulation; the per-part promote fuses into the adds)
     dvol_t = jnp.zeros((b, h, w, d, c), jnp.float32)
     for t, (dy, dx, dz) in enumerate(_TAPS):
-        part = acc[:, :, :, :, t, :]
+        part = acc[:, :, :, :, t, :].astype(jnp.float32)
         dvol_t = dvol_t + _shift_fwd(_shift_fwd(_shift_fwd(
             part, 3, dz), 2, dx), 1, dy)
     dvol = jnp.moveaxis(dvol_t, 3, 1).astype(g.dtype)

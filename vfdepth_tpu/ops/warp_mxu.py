@@ -67,11 +67,16 @@ def _tap_range(c: jnp.ndarray, size: int):
 
 
 def _fwd_kernel(h: int, w: int, w_pad: int, sh: int, src_ref, x_ref, y_ref,
-                out_ref, ddx_ref, ddy_ref, band_ref):
+                out_ref, ddx_ref, ddy_ref, band_ref, aout_ref, adx_ref,
+                ady_ref):
     """src (bf16) [C+1, h, w_pad]; x/y [T/_MICRO, _MICRO] f32;
-    out [C+1, T] f32; ddx/ddy [C, T] f32 (d out_img / d pixel coord);
+    out [C+1, T] bf16; ddx/ddy [C, T] bf16 (d out_img / d pixel coord);
     band_ref: VMEM scratch [(C+1)*sh, w_pad] bf16 (per-y-band flat copy —
-    ONE sublane relayout per band, then x-windows are cheap lane reads).
+    ONE sublane relayout per band, then x-windows are cheap lane reads);
+    aout/adx/ady: f32 VMEM accumulators — cross-band sums stay exact and
+    only the final rounded value streams to HBM (bf16 outputs halve both
+    the kernel's output writes and the patch-layout permute copies behind
+    it; the mask channel is exact 0/1 either way).
 
     Loop structure: all trip counts are DYNAMIC (exact number of active
     y-bands / x-windows — no skipped-guard iterations), and bands/windows
@@ -85,9 +90,9 @@ def _fwd_kernel(h: int, w: int, w_pad: int, sh: int, src_ref, x_ref, y_ref,
     ci = _C * sh
     big = jnp.int32(-(1 << 24))
 
-    out_ref[:] = jnp.zeros_like(out_ref)
-    ddx_ref[:] = jnp.zeros_like(ddx_ref)
-    ddy_ref[:] = jnp.zeros_like(ddy_ref)
+    aout_ref[:] = jnp.zeros_like(aout_ref)
+    adx_ref[:] = jnp.zeros_like(adx_ref)
+    ady_ref[:] = jnp.zeros_like(ady_ref)
 
     y_lo, y_hi = _tap_range(y_ref[:], h)
     lat_y = jnp.maximum((y_lo // sh) * sh, 0)
@@ -157,9 +162,9 @@ def _fwd_kernel(h: int, w: int, w_pad: int, sh: int, src_ref, x_ref, y_ref,
                         (mix_i * wy_dot3).reshape(_C, sh, _MICRO), axis=1)
 
                     sl = pl.ds(pl.multiple_of(m * _MICRO, _MICRO), _MICRO)
-                    out_ref[:, sl] += jnp.concatenate([img, msk], 0)
-                    ddx_ref[:, sl] += ddx
-                    ddy_ref[:, sl] += ddy
+                    aout_ref[:, sl] += jnp.concatenate([img, msk], 0)
+                    adx_ref[:, sl] += ddx
+                    ady_ref[:, sl] += ddy
                     return 0
 
                 jax.lax.fori_loop(0, n_xseg, xseg_body, 0, unroll=False)
@@ -169,6 +174,10 @@ def _fwd_kernel(h: int, w: int, w_pad: int, sh: int, src_ref, x_ref, y_ref,
         return 0
 
     jax.lax.fori_loop(0, n_yseg, yseg_body, 0, unroll=False)
+
+    out_ref[:] = aout_ref[:].astype(out_ref.dtype)
+    ddx_ref[:] = adx_ref[:].astype(ddx_ref.dtype)
+    ddy_ref[:] = ady_ref[:].astype(ddy_ref.dtype)
 
 
 _PATCH = (16, 16)   # patch layout: each micro-tile is a 16x16 image patch
@@ -260,12 +269,15 @@ def _fwd_call(src, x, y, h, w, w_pad, n_pad, sh):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, _C + 1, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((b, _C, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((b, _C, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, _C + 1, n_pad), jnp.bfloat16),
+            jax.ShapeDtypeStruct((b, _C, n_pad), jnp.bfloat16),
+            jax.ShapeDtypeStruct((b, _C, n_pad), jnp.bfloat16),
         ],
         scratch_shapes=[
-            pltpu.VMEM(((_C + 1) * sh, w_pad), jnp.bfloat16)],
+            pltpu.VMEM(((_C + 1) * sh, w_pad), jnp.bfloat16),
+            pltpu.VMEM((_C + 1, _BLOCK_T), jnp.float32),
+            pltpu.VMEM((_C, _BLOCK_T), jnp.float32),
+            pltpu.VMEM((_C, _BLOCK_T), jnp.float32)],
         interpret=(jax.default_backend() != "tpu"),
     )(src, x, y)
 
