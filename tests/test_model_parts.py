@@ -172,3 +172,31 @@ def test_sampler_config_paths_agree():
     gref = gnorms[("gather", "gather")]
     for k, v in gnorms.items():
         np.testing.assert_allclose(v, gref, rtol=5e-2, err_msg=str(k))
+
+
+def test_merged_backprojection_matches_separate():
+    """tpu.merge_backprojection samples the pose AND depth feature maps
+    through one back-projection pass; eval-mode outputs (poses, disparity,
+    loss) must equal the separate-pass path (the sampler is channelwise)."""
+    cfg = micro_config()
+    batch = _batch(cfg)
+    rng = jax.random.PRNGKey(0)
+
+    cfg.set("merge_backprojection", True, section="tpu")
+    merged_model = VFDepthModel(cfg)
+    assert merged_model._can_merge_backproject()
+    params, stats = merged_model.init(rng, batch)
+    out_m, (loss_m, _), _ = merged_model.forward(params, stats, batch, rng,
+                                                 train=False)
+
+    cfg.set("merge_backprojection", False, section="tpu")
+    sep_model = VFDepthModel(cfg)
+    assert not sep_model._can_merge_backproject()
+    out_s, (loss_s, _), _ = sep_model.forward(params, stats, batch, rng,
+                                              train=False)
+
+    np.testing.assert_allclose(float(loss_m), float(loss_s), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_m["disp/0"]),
+                               np.asarray(out_s["disp/0"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_m["cam_T_cam"]),
+                               np.asarray(out_s["cam_T_cam"]), atol=1e-5)

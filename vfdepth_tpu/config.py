@@ -166,6 +166,10 @@ def get_config(path: str, mode: str = "train", weight_path: Optional[str] = None
     tpu.setdefault("sampler_2d", None)
     tpu.setdefault("sampler_3d", "packed")
     tpu.setdefault("batch_pose_frames", True)  # one pose pass for all frames
+    # one back-projection kernel pass for the pose AND depth paths (their
+    # projected coordinates are identical; models/vfnet.py
+    # backproject_features). false = separate per-net passes.
+    tpu.setdefault("merge_backprojection", True)
     tpu.setdefault("warp_op", "auto")          # auto | mxu | quad
     tpu.setdefault("warp_window", True)        # windowed spatio/st warps (quad)
     tpu.setdefault("warp_window_hw", None)     # [h, w] override (None = auto)

@@ -1,13 +1,13 @@
 from .blocks import ConvBlock, PointwiseBlock, pack_cam_feat, unpack_cam_feat
 from .resnet import ResnetEncoder, num_ch_enc
 from .decoders import FusionDepthDecoder, MonoDepthDecoder, PoseDecoder
-from .vfnet import VFNet, augment_extrinsics
+from .vfnet import VFNet, augment_extrinsics, backproject_features
 from .nets import FusedDepthNet, FusedPoseNet, MonoDepthNet, MonoPoseNet
 
 __all__ = [
     "ConvBlock", "PointwiseBlock", "pack_cam_feat", "unpack_cam_feat",
     "ResnetEncoder", "num_ch_enc",
     "FusionDepthDecoder", "MonoDepthDecoder", "PoseDecoder",
-    "VFNet", "augment_extrinsics",
+    "VFNet", "augment_extrinsics", "backproject_features",
     "FusedDepthNet", "FusedPoseNet", "MonoDepthNet", "MonoPoseNet",
 ]

@@ -115,23 +115,42 @@ class FusedDepthNet(nn.Module):
         extrinsics_aug: Optional[jnp.ndarray] = None,
         train: bool = True,
     ) -> Dict[str, jnp.ndarray]:
-        b, cams = images.shape[:2]
         lev = self.fusion_level
         feats, feats_agg = self.encode_aggregate(images, train)
-
-        fusion = self.fusion_net(
-            feats_agg, mask, intrinsics, inv_k, extrinsics, extrinsics_inv,
+        feat, _, count = self.fusion_net.backproject_into_voxel(
+            feats_agg, mask, intrinsics, extrinsics_inv)
+        return self.decode_from_backprojection(
+            feat, count, [feats[i] for i in range(lev)], inv_k, extrinsics,
             extrinsics_aug=extrinsics_aug, train=train)
 
-        skip_feats = [feats[i] for i in range(lev)]
+    def decode_from_backprojection(
+        self,
+        feat: jnp.ndarray,            # [b, cams, n_vox, C+1]
+        count: jnp.ndarray,           # [b, n_vox]
+        skip_feats: Sequence[jnp.ndarray],
+        inv_k: jnp.ndarray,
+        extrinsics: jnp.ndarray,
+        extrinsics_aug: Optional[jnp.ndarray] = None,
+        train: bool = True,
+    ) -> Dict[str, jnp.ndarray]:
+        """Voxel fusion + frustum reprojection + decoder, given the
+        back-projected per-camera voxel features (possibly sampled through
+        a kernel pass merged with the pose net's — the sampling carries no
+        depth-net parameters)."""
+        b, cams = inv_k.shape[:2]
+        voxel_feat = self.fusion_net.fuse_depth(feat, count)
+        proj = self.fusion_net.project_voxel_into_image(
+            voxel_feat, inv_k, extrinsics, train)
 
         outputs: Dict[str, jnp.ndarray] = {}
-        dec = self.decoder(skip_feats + [pack_cam_feat(fusion["proj_feat"])])
+        dec = self.decoder(list(skip_feats) + [pack_cam_feat(proj)])
         for k, v in dec.items():
             outputs[k] = unpack_cam_feat(v, b, cams)
 
         if extrinsics_aug is not None:
-            dec_aug = self.decoder(skip_feats + [pack_cam_feat(fusion["proj_feat_aug"])])
+            proj_aug = self.fusion_net.project_voxel_into_image(
+                voxel_feat, inv_k, extrinsics_aug, train)
+            dec_aug = self.decoder(list(skip_feats) + [pack_cam_feat(proj_aug)])
             for k, v in dec_aug.items():
                 outputs[f"{k}/aug"] = unpack_cam_feat(v, b, cams)
         return outputs
@@ -184,7 +203,82 @@ class FusedPoseNet(nn.Module):
     sampler_2d: str = "auto"
     sampler_3d: str = "packed"
 
-    @nn.compact
+    def setup(self):
+        lev = self.fusion_level
+        self.encoder = ResnetEncoder(self.num_layers, 2, dtype=self.dtype,
+                                     name="encoder")
+        self.conv1x1 = ConvBlock(self.fusion_feat_in_dim, kernel_size=1,
+                                 dtype=self.dtype, name="conv1x1")
+        self.fusion_net = VFNet(
+            feat_in_dim=self.fusion_feat_in_dim,
+            feat_out_dim=num_ch_enc(self.num_layers)[lev],
+            model="pose",
+            voxel_str_p=self.voxel_str_p,
+            voxel_unit_size=self.voxel_unit_size,
+            voxel_size=self.voxel_size,
+            proj_d_bins=self.proj_d_bins,
+            proj_d_str=self.proj_d_str,
+            proj_d_end=self.proj_d_end,
+            num_cams=self.num_cams,
+            fusion_level=lev,
+            height=self.height,
+            width=self.width,
+            dtype=self.dtype,
+            sampler_2d=self.sampler_2d,
+            sampler_3d=self.sampler_3d,
+            name="fusion_net",
+        )
+        self.pose_decoder = PoseDecoder(
+            num_frames_to_predict_for=1, stride=2, dtype=self.dtype,
+            name="pose_decoder")
+
+    def encode_aggregate(self, cur_images: jnp.ndarray,
+                         next_images: jnp.ndarray, train: bool = True,
+                         n_ctx: int = 1) -> jnp.ndarray:
+        """Stacked-pair encoder + fusion-level aggregation.
+
+        With ``n_ctx > 1`` the inputs stack context pairs group-major along
+        batch ``[n_ctx*b, ...]``; the output merges them back into channel
+        groups ``[b, cams, h, w, n_ctx*C]`` for the shared-coordinate
+        back-projection."""
+        gb, cams = cur_images.shape[:2]
+        b = gb // n_ctx
+        lev = self.fusion_level
+
+        pair = jnp.concatenate([cur_images, next_images], axis=-1)  # 6 channels
+        packed = pack_cam_feat(pair)
+        feats = self.encoder(packed, train)
+
+        up_h, up_w = feats[lev].shape[-3], feats[lev].shape[-2]
+        agg = [feats[lev]] + [
+            resize_bilinear(f, (up_h, up_w), align_corners=True) for f in feats[lev + 1:]
+        ]
+        agg = jnp.concatenate(agg, axis=-1)
+        agg = self.conv1x1(agg, train)
+        feats_agg = unpack_cam_feat(agg, gb, cams)
+        if n_ctx > 1:
+            # group-major batch -> channel groups for the shared-coordinate
+            # back-projection: [G*b, cams, h, w, C] -> [b, cams, h, w, G*C]
+            c = feats_agg.shape[-1]
+            f = feats_agg.reshape((n_ctx, b) + feats_agg.shape[1:])
+            f = jnp.moveaxis(f, 0, -2)
+            feats_agg = f.reshape(f.shape[:-2] + (n_ctx * c,))
+        return feats_agg
+
+    def pose_from_backprojection(self, feat: jnp.ndarray, count: jnp.ndarray,
+                                 train: bool = True, n_ctx: int = 1
+                                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Back-projected per-camera voxel features -> (axisangle,
+        translation). ``feat``/``count`` as returned by
+        ``vfnet.backproject_features`` on this net's aggregated features
+        (possibly sampled through a kernel pass merged with the depth
+        net's — the sampling itself carries no pose-net parameters)."""
+        bev = self.fusion_net.pose_voxel_to_bev(feat, count, train=train,
+                                                frame_groups=n_ctx)
+        axisangle, translation = self.pose_decoder(bev)
+        # translation clamp +-4.0 m (reference fusion_posenet.py:72)
+        return axisangle, jnp.clip(translation, -4.0, 4.0)
+
     def __call__(
         self,
         cur_images: jnp.ndarray,      # [n_ctx*b, cams, H, W, 3]
@@ -203,57 +297,12 @@ class FusedPoseNet(nn.Module):
         back-projection samples all pairs through one kernel pass
         (frame-group channel merge — see ``VFNet.__call__``). Outputs stay
         group-major ``[n_ctx*b, ...]``, identical to n_ctx separate calls."""
-        gb, cams = cur_images.shape[:2]
-        b = gb // n_ctx
-        lev = self.fusion_level
-
-        pair = jnp.concatenate([cur_images, next_images], axis=-1)  # 6 channels
-        packed = pack_cam_feat(pair)
-        feats = ResnetEncoder(self.num_layers, 2, dtype=self.dtype,
-                              name="encoder")(packed, train)
-
-        up_h, up_w = feats[lev].shape[-3], feats[lev].shape[-2]
-        agg = [feats[lev]] + [
-            resize_bilinear(f, (up_h, up_w), align_corners=True) for f in feats[lev + 1:]
-        ]
-        agg = jnp.concatenate(agg, axis=-1)
-        agg = ConvBlock(self.fusion_feat_in_dim, kernel_size=1,
-                        dtype=self.dtype, name="conv1x1")(agg, train)
-        feats_agg = unpack_cam_feat(agg, gb, cams)
-        if n_ctx > 1:
-            # group-major batch -> channel groups for the shared-coordinate
-            # back-projection: [G*b, cams, h, w, C] -> [b, cams, h, w, G*C]
-            c = feats_agg.shape[-1]
-            f = feats_agg.reshape((n_ctx, b) + feats_agg.shape[1:])
-            f = jnp.moveaxis(f, 0, -2)
-            feats_agg = f.reshape(f.shape[:-2] + (n_ctx * c,))
-
-        bev = VFNet(
-            feat_in_dim=self.fusion_feat_in_dim,
-            feat_out_dim=num_ch_enc(self.num_layers)[lev],
-            model="pose",
-            voxel_str_p=self.voxel_str_p,
-            voxel_unit_size=self.voxel_unit_size,
-            voxel_size=self.voxel_size,
-            proj_d_bins=self.proj_d_bins,
-            proj_d_str=self.proj_d_str,
-            proj_d_end=self.proj_d_end,
-            num_cams=self.num_cams,
-            fusion_level=lev,
-            height=self.height,
-            width=self.width,
-            dtype=self.dtype,
-            sampler_2d=self.sampler_2d,
-            sampler_3d=self.sampler_3d,
-            name="fusion_net",
-        )(feats_agg, mask, intrinsics, inv_k, extrinsics, extrinsics_inv,
-          train=train, frame_groups=n_ctx)["bev_feat"]
-
-        axisangle, translation = PoseDecoder(
-            num_frames_to_predict_for=1, stride=2, dtype=self.dtype,
-            name="pose_decoder")(bev)
-        # translation clamp +-4.0 m (reference fusion_posenet.py:72)
-        return axisangle, jnp.clip(translation, -4.0, 4.0)
+        feats_agg = self.encode_aggregate(cur_images, next_images,
+                                          train=train, n_ctx=n_ctx)
+        feat, _, count = self.fusion_net.backproject_into_voxel(
+            feats_agg, mask, intrinsics, extrinsics_inv)
+        return self.pose_from_backprojection(feat, count, train=train,
+                                             n_ctx=n_ctx)
 
 
 class MonoDepthNet(nn.Module):

@@ -37,6 +37,124 @@ from ..ops.sample3d_packed import grid_sample_3d_packed
 from ..ops.resize import resize_bilinear
 
 
+def backproject_features(
+    feats_agg: jnp.ndarray,       # [b, cams, h, w, C]
+    mask: jnp.ndarray,            # [b, cams, H, W, 1] self-occlusion
+    intrinsics: jnp.ndarray,      # [b, cams, 4, 4] at fusion_level+1 scale
+    extrinsics_inv: jnp.ndarray,  # [b, cams, 4, 4]
+    *,
+    voxel_str_p: Sequence[float],
+    voxel_unit_size: Sequence[float],
+    voxel_size: Sequence[int],
+    sampler_2d: str = "auto",
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Image-plane features -> per-camera voxel features (pure geometry).
+
+    The sampling stage of ``VFNet.backproject_into_voxel`` as a FREE
+    function: it involves no learned parameters (calibration einsums +
+    validity logic + the sampler kernel), which is what lets the model
+    merge the pose and depth nets' back-projections into ONE kernel pass —
+    their projected coordinates are identical (same rig, same fusion
+    level), so the per-path feature maps concatenate on channels and the
+    one-hot weight build (the dominant sampler cost on TPU) is paid once.
+
+    Returns (feat [b, cams, n, C+1] masked incl rel-depth, valid
+    [b, cams, n], count [b, n]); see the method for semantics
+    (reference ``network/volumetric_fusionnet.py:132-195``).
+    """
+    h_dim, w_dim = feats_agg.shape[-3], feats_agg.shape[-2]
+    dtype = feats_agg.dtype
+    # geometry stays f32 even under bf16 mixed precision: bf16 pixel
+    # coordinates would cost ~0.3 px of sampling accuracy
+    geo = jnp.float32
+
+    vox = voxel_points_homo(voxel_str_p, voxel_unit_size, voxel_size,
+                            geo)  # [4, n]
+
+    # voxels -> each camera frame (reference :132-133). Both einsums
+    # emit POINT-major [b, cams, n, 3] directly (the dot writes its N
+    # dim outermost) — a coordinate-major [.., 3, n] layout needed
+    # [6, 200k]-row transpose copies before every elementwise consumer
+    # (~3 ms/step at DDAD shapes).
+    v_local = jnp.einsum("bcij,jn->bcni",
+                         extrinsics_inv[..., :3, :].astype(geo), vox)
+
+    # pinhole projection + align_corners NDC (reference :166-181)
+    cam_pts = jnp.einsum("bcij,bcnj->bcni",
+                         intrinsics[..., :3, :3].astype(geo), v_local)
+    z = cam_pts[..., 2:3]
+    xy = cam_pts[..., :2] / (z + 1e-8)
+    xy = jnp.nan_to_num(xy, nan=2.0 * w_dim, posinf=2.0 * w_dim,
+                        neginf=-2.0 * w_dim)
+    xy = jnp.clip(xy, -2.0 * w_dim, 2.0 * w_dim)
+    scale = jnp.array([2.0 / (w_dim - 1), 2.0 / (h_dim - 1)], dtype=geo)
+    pix = xy * scale - 1.0                    # [b, cams, n, 2]
+
+    # validity: occlusion mask (nearest), in-front, in-bounds (:183-195);
+    # no gradient flows through the mask (it's an input)
+    mask_lowres = resize_bilinear(mask, (h_dim, w_dim), align_corners=True)
+    in_front = v_local[..., 2] > 0
+    in_bounds = jnp.all((pix >= -1.0) & (pix <= 1.0), axis=-1)
+    # Sanitize coords of points that `valid` zeroes anyway (behind-camera
+    # mirror projections land IN-image and out-of-bounds points still
+    # have live border taps): their sampled value is multiplied by 0 and
+    # their incoming gradient is 0, so pushing them out of tap range is
+    # exact — and it is what lets the banded Pallas kernel's live-tap
+    # span (and its zero-iteration skip) see only true in-FOV points
+    # (~2.3x fewer MACs on the DDAD rig).
+    pix = jnp.where((in_front & in_bounds)[..., None], pix, -3.0)
+
+    # feature sampling: Pallas one-hot-matmul kernel on TPU (the XLA
+    # gather/scatter pair costs ~180 ms fwd+bwd and minutes of compile;
+    # the kernel runs both directions as MXU matmuls). Multi-chip note:
+    # the batch axis is the kernel grid's leading dim; under data-parallel
+    # sharding wrap with shard_map (single-chip jit is fine as-is).
+    sampler = sampler_2d
+    if sampler == "auto":
+        sampler = "pallas" if jax.default_backend() == "tpu" else "gather"
+    if sampler == "pallas":
+        # one kernel pass produces the masked per-point feature tensor:
+        # bilinear feat + NEAREST occlusion mask + rel-depth appended +
+        # validity gating, all in the kernel's VMEM epilogue (the
+        # unfused form spent ~10 ms/step re-streaming [cams, 200k, C]
+        # tensors through XLA elementwise passes)
+        from ..ops.pallas_sample import sample_backproject_pallas
+        b_, cams_ = feats_agg.shape[:2]
+        rel_depth_pts = (v_local[..., 2] / voxel_size[0]).astype(geo)
+        fv, vv = sample_backproject_pallas(
+            feats_agg.reshape((b_ * cams_,) + feats_agg.shape[2:]),
+            mask_lowres.reshape((b_ * cams_,) + mask_lowres.shape[2:]),
+            pix.reshape(b_ * cams_, -1, 2),
+            rel_depth_pts.reshape(b_ * cams_, -1),
+        )
+        feat = fv.reshape(
+            pix.shape[:3] + (feats_agg.shape[-1] + 1,)).astype(dtype)
+        valid = jax.lax.stop_gradient(vv).reshape(
+            pix.shape[:3]).astype(dtype)
+        count = jnp.sum(valid, axis=1)        # [b, n]
+        return feat, valid, count
+    elif sampler == "matmul":
+        from ..ops.matmul_sample import sample_bilinear_mm
+        b_, cams_ = feats_agg.shape[:2]
+        feat = sample_bilinear_mm(
+            feats_agg.reshape((b_ * cams_,) + feats_agg.shape[2:]),
+            pix.reshape(b_ * cams_, -1, 2),
+        ).reshape(pix.shape[:3] + (feats_agg.shape[-1],))
+    elif sampler == "gather":
+        feat = grid_sample_2d(feats_agg, pix, mode="bilinear")  # [b, cams, n, C]
+    else:
+        raise ValueError(f"unknown sampler_2d {sampler!r}")
+    m = jax.lax.stop_gradient(
+        grid_sample_2d(mask_lowres, pix, mode="nearest"))[..., 0]
+    valid = ((m > 0.5) & in_front & in_bounds).astype(dtype)  # [b, cams, n]
+    # append normalized camera-frame depth as a feature (:145)
+    rel_depth = (v_local[..., 2:3] / voxel_size[0]).astype(dtype)
+    feat = jnp.concatenate([feat, rel_depth], axis=-1) * valid[..., None]
+
+    count = jnp.sum(valid, axis=1)  # [b, n]
+    return feat, valid, count
+
+
 class VFNet(nn.Module):
     """Surround-view fusion: back-project per-camera features into one metric
     voxel volume, fuse, and (depth) re-project into each camera's frustum or
@@ -110,104 +228,21 @@ class VFNet(nn.Module):
         """Returns per-camera voxel features [b, cams, n, C+1], validity
         [b, cams, n], and visibility count [b, n].
 
+        Pure geometry + sampling — delegates to the module-level
+        ``backproject_features`` (no learned parameters; the model merges
+        the pose/depth paths through that function).
+
         Mask/validity tensors deliberately carry NO trailing singleton
         channel: a stored [..., n, 1] array is tiled (8, 128) on its last two
         dims on TPU, padding the 1 out to 128 (64-128x HBM blowup — this was
         an observed OOM at batch 2)."""
-        h_dim, w_dim = feats_agg.shape[-3], feats_agg.shape[-2]
-        dtype = feats_agg.dtype
-        # geometry stays f32 even under bf16 mixed precision: bf16 pixel
-        # coordinates would cost ~0.3 px of sampling accuracy
-        geo = jnp.float32
-        vz, vy, vx = self.vol_dims
-        n_vox = vz * vy * vx
+        return backproject_features(
+            feats_agg, mask, intrinsics, extrinsics_inv,
+            voxel_str_p=self.voxel_str_p,
+            voxel_unit_size=self.voxel_unit_size,
+            voxel_size=self.voxel_size,
+            sampler_2d=self.sampler_2d)
 
-        vox = voxel_points_homo(self.voxel_str_p, self.voxel_unit_size,
-                                self.voxel_size, geo)  # [4, n]
-
-        # voxels -> each camera frame (reference :132-133). Both einsums
-        # emit POINT-major [b, cams, n, 3] directly (the dot writes its N
-        # dim outermost) — a coordinate-major [.., 3, n] layout needed
-        # [6, 200k]-row transpose copies before every elementwise consumer
-        # (~3 ms/step at DDAD shapes).
-        v_local = jnp.einsum("bcij,jn->bcni",
-                             extrinsics_inv[..., :3, :].astype(geo), vox)
-
-        # pinhole projection + align_corners NDC (reference :166-181)
-        cam_pts = jnp.einsum("bcij,bcnj->bcni",
-                             intrinsics[..., :3, :3].astype(geo), v_local)
-        z = cam_pts[..., 2:3]
-        xy = cam_pts[..., :2] / (z + 1e-8)
-        xy = jnp.nan_to_num(xy, nan=2.0 * w_dim, posinf=2.0 * w_dim, neginf=-2.0 * w_dim)
-        xy = jnp.clip(xy, -2.0 * w_dim, 2.0 * w_dim)
-        scale = jnp.array([2.0 / (w_dim - 1), 2.0 / (h_dim - 1)], dtype=geo)
-        pix = xy * scale - 1.0                    # [b, cams, n, 2]
-
-        # validity: occlusion mask (nearest), in-front, in-bounds (:183-195);
-        # no gradient flows through the mask (it's an input)
-        mask_lowres = resize_bilinear(mask, (h_dim, w_dim), align_corners=True)
-        in_front = v_local[..., 2] > 0
-        in_bounds = jnp.all((pix >= -1.0) & (pix <= 1.0), axis=-1)
-        # Sanitize coords of points that `valid` zeroes anyway (behind-camera
-        # mirror projections land IN-image and out-of-bounds points still
-        # have live border taps): their sampled value is multiplied by 0 and
-        # their incoming gradient is 0, so pushing them out of tap range is
-        # exact — and it is what lets the banded Pallas kernel's live-tap
-        # span (and its zero-iteration skip) see only true in-FOV points
-        # (~2.3x fewer MACs on the DDAD rig).
-        pix = jnp.where((in_front & in_bounds)[..., None], pix, -3.0)
-
-        # feature sampling: Pallas one-hot-matmul kernel on TPU (the XLA
-        # gather/scatter pair costs ~180 ms fwd+bwd and minutes of compile;
-        # the kernel runs both directions as MXU matmuls). Multi-chip note:
-        # the batch axis is the kernel grid's leading dim; under data-parallel
-        # sharding wrap with shard_map (single-chip jit is fine as-is).
-        sampler = self.sampler_2d
-        if sampler == "auto":
-            sampler = "pallas" if jax.default_backend() == "tpu" else "gather"
-        if sampler == "pallas":
-            # one kernel pass produces the masked per-point feature tensor:
-            # bilinear feat + NEAREST occlusion mask + rel-depth appended +
-            # validity gating, all in the kernel's VMEM epilogue (the
-            # unfused form spent ~10 ms/step re-streaming [cams, 200k, C]
-            # tensors through XLA elementwise passes)
-            from ..ops.pallas_sample import sample_backproject_pallas
-            b_, cams_ = feats_agg.shape[:2]
-            rel_depth_pts = (v_local[..., 2]
-                             / self.voxel_size[0]).astype(geo)
-            fv, vv = sample_backproject_pallas(
-                feats_agg.reshape((b_ * cams_,) + feats_agg.shape[2:]),
-                mask_lowres.reshape((b_ * cams_,) + mask_lowres.shape[2:]),
-                pix.reshape(b_ * cams_, -1, 2),
-                rel_depth_pts.reshape(b_ * cams_, -1),
-            )
-            feat = fv.reshape(
-                pix.shape[:3] + (feats_agg.shape[-1] + 1,)).astype(dtype)
-            valid = jax.lax.stop_gradient(vv).reshape(
-                pix.shape[:3]).astype(dtype)
-            count = jnp.sum(valid, axis=1)        # [b, n]
-            return feat, valid, count
-        elif sampler == "matmul":
-            from ..ops.matmul_sample import sample_bilinear_mm
-            b_, cams_ = feats_agg.shape[:2]
-            feat = sample_bilinear_mm(
-                feats_agg.reshape((b_ * cams_,) + feats_agg.shape[2:]),
-                pix.reshape(b_ * cams_, -1, 2),
-            ).reshape(pix.shape[:3] + (feats_agg.shape[-1],))
-        elif sampler == "gather":
-            feat = grid_sample_2d(feats_agg, pix, mode="bilinear")  # [b, cams, n, C]
-        else:
-            raise ValueError(f"unknown sampler_2d {self.sampler_2d!r}")
-        if sampler != "pallas":
-            m = jax.lax.stop_gradient(
-                grid_sample_2d(mask_lowres, pix, mode="nearest"))[..., 0]
-        valid = ((m > 0.5) & in_front & in_bounds).astype(dtype)  # [b, cams, n]
-        # append normalized camera-frame depth as a feature (:145)
-        rel_depth = (v_local[..., 2:3] / self.voxel_size[0]).astype(dtype)
-        feat = jnp.concatenate([feat, rel_depth], axis=-1) * valid[..., None]
-
-        count = jnp.sum(valid, axis=1)  # [b, n]
-        return feat, valid, count
 
     def fuse_depth(self, feat: jnp.ndarray, count: jnp.ndarray) -> jnp.ndarray:
         """Overlap-aware fusion (reference :154-158, :197-230).
@@ -389,7 +424,14 @@ class VFNet(nn.Module):
                     voxel_feat, inv_k, extrinsics_aug, train)
             return out
 
-        # pose: visibility-weighted mean over cameras (reference :160-162)
+        return {"bev_feat": self.pose_voxel_to_bev(
+            feat, count, train=train, frame_groups=frame_groups)}
+
+    def pose_voxel_to_bev(self, feat: jnp.ndarray, count: jnp.ndarray,
+                          train: bool = True,
+                          frame_groups: int = 1) -> jnp.ndarray:
+        """Pose branch after back-projection: visibility-weighted camera
+        mean (reference :160-162), frame-group split, BEV reduction."""
         voxel_feat = jnp.sum(feat, axis=1) / (count[..., None] + 1e-7)
         if frame_groups > 1:
             # split the channel groups back out; the appended rel-depth
@@ -400,7 +442,7 @@ class VFNet(nn.Module):
                 [jnp.concatenate(
                     [voxel_feat[..., g * gc:(g + 1) * gc], rel], axis=-1)
                  for g in range(frame_groups)], axis=0)  # [G*b, n, C+1]
-        return {"bev_feat": self.bev_from_voxel(voxel_feat, train)}
+        return self.bev_from_voxel(voxel_feat, train)
 
 
 def augment_extrinsics(rng: jax.Array, extrinsics: jnp.ndarray,

@@ -31,6 +31,77 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# rows per grid step of the combine/updates kernels (pure elementwise
+# streams; the block just has to amortize grid overhead and fit VMEM)
+_ROWS_BLK = 4096
+
+
+def _combine_kernel(c: int, rows_ref, wgt_ref, out_ref):
+    """rows [blk, 8C] bf16, wgt [blk, 8] f32 -> out [blk, C] (one pass)."""
+    w = wgt_ref[:]
+    acc = rows_ref[:, 0:c].astype(jnp.float32) * w[:, 0:1]
+    for t in range(1, 8):
+        acc += rows_ref[:, t * c:(t + 1) * c].astype(jnp.float32) * w[:, t:t + 1]
+    out_ref[:] = acc.astype(out_ref.dtype)
+
+
+def _combine_taps(rows: jnp.ndarray, wgt: jnp.ndarray, c: int) -> jnp.ndarray:
+    """One-pass weighted tap combine: [B, N, 8C] x [B, N, 8] -> [B, N, C].
+
+    XLA's fusion of the 8-slice multiply-add loop re-streams slices of the
+    [N, 8C] gather output through several loop fusions (~4-6 ms/step at
+    DDAD shapes); this kernel reads it exactly once.
+    """
+    b, n, _ = rows.shape
+    return pl.pallas_call(
+        functools.partial(_combine_kernel, c),
+        grid=(b, -(-n // _ROWS_BLK)),
+        in_specs=[
+            pl.BlockSpec((None, _ROWS_BLK, 8 * c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, _ROWS_BLK, 8), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, _ROWS_BLK, c), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), rows.dtype),
+        interpret=(jax.default_backend() != "tpu"),
+    )(rows, wgt.astype(jnp.float32))
+
+
+def _updates_kernel(c: int, g_ref, wgt_ref, out_ref):
+    """g [blk, C], wgt [blk, 8] f32 -> updates [blk, 8C] (one pass)."""
+    g = g_ref[:].astype(jnp.float32)
+    w = wgt_ref[:]
+    for t in range(8):
+        out_ref[:, t * c:(t + 1) * c] = (w[:, t:t + 1] * g).astype(
+            out_ref.dtype)
+
+
+def _build_updates(g: jnp.ndarray, wgt: jnp.ndarray, c: int,
+                   out_dtype) -> jnp.ndarray:
+    """One-pass scatter-update build: [B, N, C] x [B, N, 8] -> [B, N, 8C].
+
+    The concat-of-products form spent two extra passes over the [N, 8C]
+    stream (~8 ms/step at DDAD shapes f32, ~5 ms bf16)."""
+    b, n, _ = g.shape
+    return pl.pallas_call(
+        functools.partial(_updates_kernel, c),
+        grid=(b, -(-n // _ROWS_BLK)),
+        in_specs=[
+            pl.BlockSpec((None, _ROWS_BLK, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, _ROWS_BLK, 8), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, _ROWS_BLK, 8 * c), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, 8 * c), out_dtype),
+        interpret=(jax.default_backend() != "tpu"),
+    )(g, wgt.astype(jnp.float32))
 
 
 def _axis_weights(coord: jnp.ndarray, size: int):
@@ -156,12 +227,10 @@ def _packed_fwd_impl(vol, coords):
     # [N, 8C] gather output (~3.6 ms/step at DDAD shapes)
     rows = jnp.take_along_axis(oct, idx[..., None], axis=1,
                                mode="promise_in_bounds")  # [B, N, 8C]
-    # combine as 8 last-dim slices + fma (a [N, 8, c] reshape view makes
-    # XLA materialize a transposed copy of the 0.6 GB gather output)
-    out = None
-    for t in range(8):
-        part = rows[..., t * c:(t + 1) * c] * wgt[..., t:t + 1].astype(rows.dtype)
-        out = part if out is None else out + part
+    # one-pass Pallas tap combine (a [N, 8, c] reshape view makes XLA
+    # materialize a transposed copy of the 0.6 GB gather output; the
+    # 8-slice fma loop re-streams it through several fusions)
+    out = _combine_taps(rows, wgt, c)
     return out.reshape((b,) + pts_shape + (c,))
 
 
@@ -178,18 +247,11 @@ def _packed_bwd(grad_dtype, res, g):
     n = coords_flat.shape[1]
     g_flat = g.reshape(b, n, c)
     idx, wgt = _tap_index_weights(coords_flat, d, h, w)
-    # Build [n, 8c] by concatenating the 8 per-tap products: each product
-    # is an elementwise [n, c] fusion and the concat writes the scatter's
-    # row-major layout directly. (Both the repeat/tile form and the
-    # [n, 8, c] broadcast form made XLA materialize a column-major
-    # intermediate and transpose-copy 2.3 GB into the scatter layout —
-    # ~7+4 ms/step at DDAD shapes.) The products are computed in f32 and
-    # rounded once to acc_dtype (see _GRAD_DTYPES on the bf16 default).
-    gf = g_flat.astype(jnp.float32)
-    wf = wgt.astype(jnp.float32)
-    updates = jnp.concatenate(
-        [(wf[..., t:t + 1] * gf).astype(acc_dtype) for t in range(8)],
-        axis=-1)
+    # Build [n, 8c] in ONE Pallas pass (the concat-of-products form and the
+    # [n, 8, c] broadcast form both re-streamed the 8C-wide row stream
+    # through extra fusions / transpose copies). Products are computed in
+    # f32 and rounded once to acc_dtype (see _GRAD_DTYPES on bf16).
+    updates = _build_updates(g_flat, wgt, c, acc_dtype)
     acc = jnp.zeros((b, h * w * d, 8 * c), acc_dtype)
     acc = jax.vmap(lambda a, i, u: a.at[i].add(u))(acc, idx, updates)
     acc = acc.reshape(b, h, w, d, 8, c)

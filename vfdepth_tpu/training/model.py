@@ -25,6 +25,7 @@ from ..models import (
     MonoDepthNet,
     MonoPoseNet,
     augment_extrinsics,
+    backproject_features,
     pack_cam_feat,
     unpack_cam_feat,
 )
@@ -128,6 +129,20 @@ class VFDepthModel:
         if sampler_2d is None:
             sampler_2d = "auto" if cfg.get("use_pallas", True) else "matmul"
         sampler_3d = cfg.get("sampler_3d", "packed")
+
+        # statics for the model-level merged back-projection (the sampling
+        # stage has no learned params: models/vfnet.py backproject_features)
+        self._bp_statics = dict(
+            voxel_str_p=tuple(cfg.voxel_str_p),
+            voxel_unit_size=tuple(cfg.voxel_unit_size),
+            voxel_size=tuple(cfg.voxel_size),
+            sampler_2d=sampler_2d,
+        )
+        # Merge the pose and depth nets' back-projections into ONE sampler
+        # kernel pass per step (their projected coordinates are identical —
+        # same rig, same fusion level). `tpu.merge_backprojection: false`
+        # restores separate passes.
+        self.merge_backproject = bool(cfg.get("merge_backprojection", True))
 
         vox_kwargs = dict(
             sampler_2d=sampler_2d,
@@ -293,7 +308,8 @@ class VFDepthModel:
             return True
         return self.remat == ("depth_net" if net is self.depth_net else "pose_net")
 
-    def _apply(self, net, net_params, net_stats, *args, train: bool, **kwargs):
+    def _apply(self, net, net_params, net_stats, *args, train: bool,
+               method=None, **kwargs):
         variables = {"params": net_params, "batch_stats": net_stats}
         # Python int/bool kwargs (e.g. FusedPoseNet's n_ctx) are STATIC
         # shape/branch parameters: bind them in the closure instead of
@@ -304,12 +320,13 @@ class VFDepthModel:
         if train:
             def run(v, a, kw):
                 return net.apply(v, *a, train=True, mutable=["batch_stats"],
-                                 **static_kw, **kw)
+                                 method=method, **static_kw, **kw)
             if self._remat_for(net):
                 run = jax.checkpoint(run)
             out, mut = run(variables, args, dyn_kw)
             return out, mut["batch_stats"]
-        return net.apply(variables, *args, train=False, **kwargs), net_stats
+        return (net.apply(variables, *args, train=False, method=method,
+                          **kwargs), net_stats)
 
     def predict_pose(self, params, stats, batch, train: bool):
         """Per-camera cam_T_cam for every context frame.
@@ -409,6 +426,85 @@ class VFDepthModel:
             disps_aug = None
         return disps, disps_aug, extrinsics_aug, new_stats
 
+    def predict_pose_depth(self, params, stats, batch, rng, train: bool):
+        """Merged pose + depth forward: both nets' aggregated feature maps
+        sampled through ONE back-projection kernel pass.
+
+        The projected coordinates depend only on calibration — identical
+        for the two paths — so the feature maps concatenate on channels and
+        the one-hot weight build (the dominant sampler cost on TPU) plus
+        the whole coordinate/validity pipeline run once instead of twice
+        (``models/vfnet.py backproject_features``). The sampler is
+        channelwise, so numerics match the separate passes.
+
+        Returns (cam_t_cam, disps, disps_aug, extrinsics_aug,
+        pose_stats, depth_stats).
+        """
+        fusion_k = f"K/{self.fusion_level + 1}"
+        fusion_ik = f"inv_K/{self.fusion_level + 1}"
+        ctx = self.frame_ids[1:]
+        n_ctx = len(ctx)
+        bsz = batch["color_aug/0/0"].shape[0]
+
+        # time-ordered context pairs, group-major along batch (predict_pose)
+        curs = jnp.concatenate(
+            [batch[f"color_aug/{f if f < 0 else 0}/0"] for f in ctx], axis=0)
+        nxts = jnp.concatenate(
+            [batch[f"color_aug/{0 if f < 0 else f}/0"] for f in ctx], axis=0)
+
+        pose_feats, pstats = self._apply(
+            self.pose_net, params["pose_net"], stats["pose_net"], curs, nxts,
+            train=train, n_ctx=n_ctx, method="encode_aggregate")
+        (dfeats, depth_feats), dstats = self._apply(
+            self.depth_net, params["depth_net"], stats["depth_net"],
+            batch["color_aug/0/0"], train=train, method="encode_aggregate")
+
+        cp = pose_feats.shape[-1]
+        merged = jnp.concatenate(
+            [pose_feats, depth_feats.astype(pose_feats.dtype)], axis=-1)
+        feat, _, count = backproject_features(
+            merged, batch["mask"], batch[fusion_k], batch["extrinsics_inv"],
+            **self._bp_statics)
+        # split per path; the appended rel-depth channel (last) is shared
+        # geometry — the depth slice already ends with it, the pose slice
+        # gets a copy
+        rel = feat[..., -1:]
+        feat_pose = jnp.concatenate([feat[..., :cp], rel], axis=-1)
+        feat_depth = feat[..., cp:]
+
+        (axisangle, translation), pstats = self._apply(
+            self.pose_net, params["pose_net"], pstats, feat_pose, count,
+            train=train, n_ctx=n_ctx, method="pose_from_backprojection")
+        aa = axisangle[:, 0, 0].reshape(n_ctx, bsz, 3)
+        tr = translation[:, 0, 0].reshape(n_ctx, bsz, 3)
+        mats = []
+        for i, f in enumerate(ctx):
+            canon = vec_to_matrix(aa[i], tr[i], invert=(f < 0))
+            mats.append(distribute_pose(canon, batch["extrinsics"],
+                                        batch["extrinsics_inv"]))
+        cam_t_cam = jnp.stack(mats, axis=2)  # [b, cams, n_ctx, 4, 4]
+
+        extrinsics_aug = None
+        if self.aug_depth:
+            extrinsics_aug = augment_extrinsics(rng, batch["extrinsics"],
+                                                self.aug_angle)
+        skips = [dfeats[i] for i in range(self.fusion_level)]
+        out, dstats = self._apply(
+            self.depth_net, params["depth_net"], dstats, feat_depth, count,
+            skips, batch[fusion_ik], batch["extrinsics"],
+            extrinsics_aug=extrinsics_aug, train=train,
+            method="decode_from_backprojection")
+        disps = {s: out[f"disp/{s}"] for s in self.scales}
+        disps_aug = ({s: out[f"disp/{s}/aug"] for s in self.scales}
+                     if self.aug_depth else None)
+        return cam_t_cam, disps, disps_aug, extrinsics_aug, pstats, dstats
+
+    def _can_merge_backproject(self) -> bool:
+        return (self.merge_backproject
+                and isinstance(self.pose_net, FusedPoseNet)
+                and isinstance(self.depth_net, FusedDepthNet)
+                and (self.batch_pose_frames or len(self.frame_ids) <= 2))
+
     def to_depth(self, disp: jnp.ndarray, k0: jnp.ndarray) -> jnp.ndarray:
         """Disparity -> metric depth (reference vfdepth.py:277-288).
 
@@ -440,10 +536,15 @@ class VFDepthModel:
             batch = dict(batch)
             batch["extrinsics_inv"] = invert_pose(batch["extrinsics"])
 
-        cam_t_cam, pstats = self.predict_pose(params["pose_net"],
-                                              stats["pose_net"], batch, train)
-        disps, disps_aug, extrinsics_aug, dstats = self.predict_depth(
-            params["depth_net"], stats["depth_net"], batch, rng_aug, train)
+        if self._can_merge_backproject():
+            (cam_t_cam, disps, disps_aug, extrinsics_aug,
+             pstats, dstats) = self.predict_pose_depth(
+                params, stats, batch, rng_aug, train)
+        else:
+            cam_t_cam, pstats = self.predict_pose(
+                params["pose_net"], stats["pose_net"], batch, train)
+            disps, disps_aug, extrinsics_aug, dstats = self.predict_depth(
+                params["depth_net"], stats["depth_net"], batch, rng_aug, train)
 
         k0 = batch["K/0"]
         depths = {s: self.to_depth(disps[s], k0) for s in self.scales}
