@@ -162,8 +162,12 @@ def test_sampler_config_paths_agree():
             jnp.sqrt(sum(jnp.sum(g.astype(jnp.float32) ** 2)
                          for g in jax.tree_util.tree_leaves(grads))))
     ref = losses[("gather", "gather")]
+    # the matmul path samples in bf16: a one-ulp perturbation can flip a
+    # discrete automask pixel, moving the total by ~1e-4 (observed to vary
+    # with XLA's CPU thread partitioning, e.g. the suite's 8-virtual-device
+    # flag) — this guards the config WIRING (a broken path is off by O(1))
     for k, v in losses.items():
-        np.testing.assert_allclose(v, ref, rtol=1e-4, err_msg=str(k))
+        np.testing.assert_allclose(v, ref, rtol=1e-3, err_msg=str(k))
     # grad norms carry ~1-2% discrete automask-flip noise between any two
     # compilations of this model at the near-symmetric init (see
     # test_dp_grad_equivalence); per-op VJP numerics are pinned tightly by

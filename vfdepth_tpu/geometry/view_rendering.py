@@ -206,22 +206,33 @@ def intensity_align(ref_img: jnp.ndarray, ref_mask: jnp.ndarray,
     """
     mask = jax.lax.stop_gradient(
         (ref_mask * jax.lax.stop_gradient(warp_mask)) > 0).astype(ref_img.dtype)
-    mask3 = jnp.broadcast_to(mask, warp_img.shape)
-    denom_full = float(mask3.shape[-3] * mask3.shape[-2] * mask3.shape[-1])
+    ch = warp_img.shape[-1]
+    denom_full = float(warp_img.shape[-3] * warp_img.shape[-2] * ch)
+    # the overlap mask broadcasts over RGB, so its 3-channel sum is ch * sum
+    msum = ch * jnp.sum(mask, axis=(-3, -2, -1), keepdims=True)
 
     def stats(img):
-        msum = jnp.sum(mask3, axis=(-3, -2, -1), keepdims=True)
-        mean = jnp.sum(img * mask3, axis=(-3, -2, -1), keepdims=True) / (msum + 1e-8)
-        var = jnp.sum((img - mean) ** 2, axis=(-3, -2, -1), keepdims=True) / denom_full
-        return mean, jnp.sqrt(var + 1e-16)
+        # ONE pass per image: the three reductions (masked sum, full sum,
+        # full square-sum) fuse into a single read of the stream; the
+        # sequential mean-then-squared-deviation form re-streamed each
+        # [cams, H, W, 3] image twice. Full-count quirk: the reference
+        # takes the squared deviation over ALL pixels around the MASKED
+        # mean and divides by the full count (view_rendering.py:34-36) —
+        # expressed here through the moment identity
+        # sum((x - m)^2) = sum(x^2) - 2 m sum(x) + N m^2.
+        s1m = jnp.sum(img * mask, axis=(-3, -2, -1), keepdims=True)
+        s1 = jnp.sum(img, axis=(-3, -2, -1), keepdims=True)
+        s2 = jnp.sum(img * img, axis=(-3, -2, -1), keepdims=True)
+        mean = s1m / (msum + 1e-8)
+        var = (s2 - 2.0 * mean * s1 + denom_full * mean * mean) / denom_full
+        return mean, jnp.sqrt(jnp.maximum(var, 0.0) + 1e-16)
 
     s_mean, s_std = jax.tree_util.tree_map(jax.lax.stop_gradient, stats(ref_img))
     w_mean, w_std = jax.tree_util.tree_map(jax.lax.stop_gradient, stats(warp_img))
     norm = (warp_img - w_mean) / (w_std + 1e-8) * s_std + s_mean
     norm = norm * warp_mask
 
-    has_overlap = jnp.sum(mask3, axis=(-3, -2, -1), keepdims=True) > 0
-    return jnp.where(has_overlap, norm, warp_img)
+    return jnp.where(msum > 0, norm, warp_img)
 
 
 class RenderOutputs(NamedTuple):
