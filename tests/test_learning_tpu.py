@@ -72,3 +72,56 @@ def test_gt_pose_training_improves_depth():
     assert np.isfinite(after)
     # 0.678 -> ~0.25 at 150 steps full-res; demand a robust 30% improvement
     assert after < 0.7 * before, f"abs_rel did not improve: {before} -> {after}"
+
+
+@pytest.mark.slow
+def test_cold_start_joint_training_improves_depth():
+    """FULL joint training from a RANDOM init — no GT-pose crutch, no
+    pretrained encoders — must improve depth under the staged cold-start
+    recipe (temporal-only warmup, then the overlap coefficients ramp in).
+    This is the in-environment path to accuracy parity without ImageNet
+    weights (VERDICT r2 #2); without the recipe this run collapses to max
+    depth (docs/PERF.md "Learning validation")."""
+    from vfdepth_tpu.presets import build_config
+    from vfdepth_tpu.data.synthetic_scene import SyntheticSceneDataset
+    from vfdepth_tpu.training.model import VFDepthModel
+    from vfdepth_tpu.training.step import (build_eval_step, build_train_step,
+                                           create_train_state)
+    from vfdepth_tpu.utils.metrics import compute_depth_metrics
+
+    h, w, speed = 96, 160, 0.5
+    n = int(os.environ.get("LEARN_TEST_CS_STEPS", "600"))
+    cfg = build_config(height=h, width=w, batch_size=1, mixed_precision=True,
+                       learning_rate=2e-4, max_depth=80.0, eval_max_depth=80)
+    cfg.set("cold_start_warmup_steps", n // 3, section="training")
+    cfg.set("cold_start_ramp_steps", n // 3, section="training")
+    model = VFDepthModel(cfg)
+
+    ds = SyntheticSceneDataset(num_samples=4, num_cams=6, height=h, width=w,
+                               fusion_level=2, speed=speed)
+    batches = [{k: jnp.asarray(v) for k, v in ds.batch([i]).items()}
+               for i in range(len(ds))]
+    rng = jax.random.PRNGKey(0)
+    state, tx = create_train_state(model, rng, batches[0],
+                                   steps_per_epoch=10_000)
+    step = build_train_step(model, tx, donate=False)
+    eval_step = build_eval_step(model)
+
+    def abs_rel(state):
+        out, _ = eval_step(state, batches[0], rng)
+        m, _, _ = compute_depth_metrics(
+            np.asarray(batches[0]["depth"]), np.asarray(out["depth/0"]),
+            np.asarray(batches[0]["mask"]), 0.5, 80.0)
+        return m["abs_rel"]
+
+    before = abs_rel(state)
+    for i in range(n):
+        # the ramp is driven by state.step inside the compiled step
+        state, logs = step(state, batches[i % len(batches)], rng)
+    jax.block_until_ready(logs["total_loss"])
+    after = abs_rel(state)
+    assert np.isfinite(after)
+    # joint training must not collapse (collapse lands ~1.0+ as depth
+    # saturates) and must beat the random-init error materially
+    assert after < 0.6 * before, (
+        f"cold-start joint training did not improve: {before} -> {after}")

@@ -204,3 +204,29 @@ def test_merged_backprojection_matches_separate():
                                np.asarray(out_s["disp/0"]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(out_m["cam_T_cam"]),
                                np.asarray(out_s["cam_T_cam"]), atol=1e-5)
+
+
+def test_predict_pose_override_disables_merge():
+    """The GT-pose probes/tests monkeypatch model.predict_pose; the merged
+    pose+depth back-projection must detect the instance override and route
+    through predict_pose (bypassing it silently would invalidate every
+    GT-pose experiment)."""
+    cfg = micro_config()
+    model = VFDepthModel(cfg)
+    assert model._can_merge_backproject()
+
+    calls = {"n": 0}
+    orig = model.predict_pose
+
+    def spy(params, stats, batch, train):
+        calls["n"] += 1
+        return orig(params, stats, batch, train)
+
+    model.predict_pose = spy
+    assert not model._can_merge_backproject()
+
+    batch = _batch(cfg)
+    rng = jax.random.PRNGKey(0)
+    params, stats = model.init(rng, batch)
+    model.forward(params, stats, batch, rng, train=False)
+    assert calls["n"] == 1

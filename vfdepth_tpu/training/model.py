@@ -500,7 +500,11 @@ class VFDepthModel:
         return cam_t_cam, disps, disps_aug, extrinsics_aug, pstats, dstats
 
     def _can_merge_backproject(self) -> bool:
+        # an instance-level predict_pose override (the GT-pose probes /
+        # tests monkeypatch it) must keep routing through predict_pose —
+        # the merged path would silently bypass it
         return (self.merge_backproject
+                and "predict_pose" not in self.__dict__
                 and isinstance(self.pose_net, FusedPoseNet)
                 and isinstance(self.depth_net, FusedDepthNet)
                 and (self.batch_pose_frames or len(self.frame_ids) <= 2))
