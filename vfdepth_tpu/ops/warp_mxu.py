@@ -50,7 +50,13 @@ _MICRO = 256        # pixels per one-hot matmul (2 lane-tiles)
 # (16 would double band-copy/loop overhead for the same total MACs).
 # 16 is the bf16 sublane tile — the aligned-lattice minimum.
 _SH = {"strip": 16, "patch": 32}
-_SW = 256           # source x-window columns (aligned lattice)
+# Source x-window columns (aligned lattice), per layout: a 'strip'
+# micro-tile IS a 256-px target run, so its source x-span is ~256 under the
+# near-identity temporal warps (256-col windows -> ~2 segments); a 'patch'
+# 16x16 micro-tile spans only ~16-40 source columns, and the x one-hot
+# compare/convert builds — the kernel's largest VPU item — scale with the
+# window width, so 128-col windows halve them at ~1 segment per tile.
+_SW = {"strip": 256, "patch": 128}
 _C = 3              # image channels (RGB); mask is channel _C
 
 
@@ -66,7 +72,8 @@ def _tap_range(c: jnp.ndarray, size: int):
     return lo, hi
 
 
-def _fwd_kernel(h: int, w: int, w_pad: int, sh: int, src_ref, x_ref, y_ref,
+def _fwd_kernel(h: int, w: int, w_pad: int, sh: int, sw_max: int,
+                src_ref, x_ref, y_ref,
                 out_ref, ddx_ref, ddy_ref, band_ref, aout_ref, adx_ref,
                 ady_ref):
     """src (bf16) [C+1, h, w_pad]; x/y [T/_MICRO, _MICRO] f32;
@@ -86,7 +93,7 @@ def _fwd_kernel(h: int, w: int, w_pad: int, sh: int, src_ref, x_ref, y_ref,
     """
     c4 = _C + 1
     n_micro = _BLOCK_T // _MICRO
-    sw = min(_SW, w_pad)
+    sw = min(sw_max, w_pad)
     ci = _C * sh
     big = jnp.int32(-(1 << 24))
 
@@ -216,7 +223,7 @@ def _prep(img, mask, coords, layout="strip"):
     # pad W to a multiple of the x-window so the window lattice never
     # clamps (each tap belongs to exactly one window)
     w_pad = -(-w // 128) * 128
-    sw = min(_SW, w_pad)
+    sw = min(_SW[layout], w_pad)
     w_pad = -(-w_pad // sw) * sw
     if w_pad != w:
         src = jnp.pad(src, ((0, 0), (0, 0), (0, 0), (0, w_pad - w)))
@@ -245,12 +252,12 @@ def _prep(img, mask, coords, layout="strip"):
     return src, x, y, n, n_pad
 
 
-def _fwd_call(src, x, y, h, w, w_pad, n_pad, sh):
+def _fwd_call(src, x, y, h, w, w_pad, n_pad, sh, sw_max):
     b = src.shape[0]
     rows = _BLOCK_T // _MICRO
     grid = (b, n_pad // _BLOCK_T)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, h, w, w_pad, sh),
+        functools.partial(_fwd_kernel, h, w, w_pad, sh, sw_max),
         grid=grid,
         in_specs=[
             pl.BlockSpec((None, _C + 1, h, w_pad), lambda i, j: (i, 0, 0, 0),
@@ -286,7 +293,7 @@ def _run(img, mask, coords, layout):
     h, w = img.shape[1], img.shape[2]
     src, x, y, n, n_pad = _prep(img, mask, coords, layout)
     out, ddx, ddy = _fwd_call(src, x, y, h, w, src.shape[-1], n_pad,
-                              _SH[layout])
+                              _SH[layout], _SW[layout])
     if layout == "patch" and _patchable(h, w, coords.shape[1]):
         # back to canonical row-major order (residuals included, so the
         # backward dot needs no permutation)
