@@ -162,9 +162,10 @@ def get_config(path: str, mode: str = "train", weight_path: Optional[str] = None
     tpu.setdefault("use_pallas", True)         # pallas samplers on TPU backend
     # sampler_2d: 'auto'|'pallas'|'matmul'|'gather' (None -> derived from
     # use_pallas); sampler_3d: 'packed' (bf16 backward-scatter updates) |
-    # 'packed_f32grad' (exact f32 accumulation) | 'gather'
+    # 'packed_f32grad' (exact f32 accumulation) | 'gather' | None (auto:
+    # packed, with the bf16 update rounding only under mixed precision)
     tpu.setdefault("sampler_2d", None)
-    tpu.setdefault("sampler_3d", "packed")
+    tpu.setdefault("sampler_3d", None)
     tpu.setdefault("batch_pose_frames", True)  # one pose pass for all frames
     # one back-projection kernel pass for the pose AND depth paths (their
     # projected coordinates are identical; models/vfnet.py

@@ -37,19 +37,84 @@ from jax.experimental.pallas import tpu as pltpu
 # rows per grid step of the combine/updates kernels (pure elementwise
 # streams; the block just has to amortize grid overhead and fit VMEM)
 _ROWS_BLK = 4096
+# in-kernel row sub-chunk: the 8 unrolled tap fmas each materialize
+# [rows, C]-f32 temporaries that pad C < 128 out to a full lane tile, and
+# Mosaic keeps every unrolled iteration's temps live on the kernel stack —
+# at 4096 rows x C=64 that is ~35 MB against the 16 MB scoped-vmem limit
+# (a real-chip compile failure the CPU interpreter cannot see). A fori_loop
+# over 256-row sub-chunks forces sequential stack reuse (512 rows still
+# measured 0.6 MB over the limit on top of the double-buffered blocks).
+_ROWS_SUB = 256
 
 
-def _combine_kernel(c: int, rows_ref, wgt_ref, out_ref):
-    """rows [blk, 8C] bf16, wgt [blk, 8] f32 -> out [blk, C] (one pass)."""
-    w = wgt_ref[:]
-    acc = rows_ref[:, 0:c].astype(jnp.float32) * w[:, 0:1]
-    for t in range(1, 8):
-        acc += rows_ref[:, t * c:(t + 1) * c].astype(jnp.float32) * w[:, t:t + 1]
-    out_ref[:] = acc.astype(out_ref.dtype)
+def _kernel_axis_weights(coord, size: int):
+    """The 2 per-axis tap weights for a [sub, 1] f32 pixel-coord column.
+
+    For pixel coordinate p with floor p0, frac t and clamped base
+    base = clip(p0, 0, size-2), off = p0 - base:
+      w(ch0 @ base)   = (1-t)*[off==0] + t*[off==-1]
+      w(ch1 @ base+1) = t*[off==0] + (1-t)*[off==+1]
+    which equals zeros-padding bilinear on that axis for every case
+    (|off| > 1 -> both weights 0). Bases match ``_tap_index``."""
+    p0 = jnp.floor(coord)
+    t = coord - p0
+    i0 = p0.astype(jnp.int32)
+    base = jnp.clip(i0, 0, size - 2)
+    off = i0 - base
+    is0 = (off == 0).astype(jnp.float32)
+    ism1 = (off == -1).astype(jnp.float32)
+    isp1 = (off == 1).astype(jnp.float32)
+    w0 = (1 - t) * is0 + t * ism1
+    w1 = t * is0 + (1 - t) * isp1
+    return w0, w1
 
 
-def _combine_taps(rows: jnp.ndarray, wgt: jnp.ndarray, c: int) -> jnp.ndarray:
-    """One-pass weighted tap combine: [B, N, 8C] x [B, N, 8] -> [B, N, C].
+def _kernel_tap_weights(coords, d: int, h: int, w: int):
+    """In-kernel mirror of ``_tap_index_weights``'s weight half on a
+    [sub, 3] f32 block -> eight [sub, 1] tap weights (z fastest).
+
+    Computing the weights where they are consumed kills ~20 ms/step of
+    lane-padded HBM streams at DDAD shapes: the caller-side build wrote
+    eight [N, 1] f32 intermediates plus a [N, 8] concat, each padded
+    to 128 lanes under TPU tiling (16-128x the useful bytes)."""
+    finite = (jnp.isfinite(coords[:, 0:1]) & jnp.isfinite(coords[:, 1:2])
+              & jnp.isfinite(coords[:, 2:3]))
+    x = jnp.where(finite, coords[:, 0:1], -4.0)
+    y = jnp.where(finite, coords[:, 1:2], -4.0)
+    z = jnp.where(finite, coords[:, 2:3], -4.0)
+    x = (x + 1.0) * 0.5 * (w - 1)
+    y = (y + 1.0) * 0.5 * (h - 1)
+    z = (z + 1.0) * 0.5 * (d - 1)
+    wx0, wx1 = _kernel_axis_weights(x, w)
+    wy0, wy1 = _kernel_axis_weights(y, h)
+    wz0, wz1 = _kernel_axis_weights(z, d)
+    # tap order must match _build_oct: (dy, dx, dz) with dz fastest
+    return (wy0 * wx0 * wz0, wy0 * wx0 * wz1,
+            wy0 * wx1 * wz0, wy0 * wx1 * wz1,
+            wy1 * wx0 * wz0, wy1 * wx0 * wz1,
+            wy1 * wx1 * wz0, wy1 * wx1 * wz1)
+
+
+def _combine_kernel(c: int, d: int, h: int, w: int, rows_ref, crd_ref,
+                    out_ref):
+    """rows [blk, 8C] bf16, crd [blk, 3] f32 -> out [blk, C] (one pass)."""
+    def body(k, _):
+        sl = pl.ds(k * _ROWS_SUB, _ROWS_SUB)
+        wgt = _kernel_tap_weights(crd_ref[sl, :], d, h, w)
+        acc = rows_ref[sl, 0:c].astype(jnp.float32) * wgt[0]
+        for t in range(1, 8):
+            acc += (rows_ref[sl, t * c:(t + 1) * c].astype(jnp.float32)
+                    * wgt[t])
+        out_ref[sl, :] = acc.astype(out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, _ROWS_BLK // _ROWS_SUB, body, 0)
+
+
+def _combine_taps(rows: jnp.ndarray, coords: jnp.ndarray, c: int,
+                  d: int, h: int, w: int) -> jnp.ndarray:
+    """One-pass weighted tap combine: [B, N, 8C] x coords [B, N, 3]
+    -> [B, N, C]; tap weights computed in-kernel (see _kernel_tap_weights).
 
     XLA's fusion of the 8-slice multiply-add loop re-streams slices of the
     [N, 8C] gather output through several loop fusions (~4-6 ms/step at
@@ -57,96 +122,73 @@ def _combine_taps(rows: jnp.ndarray, wgt: jnp.ndarray, c: int) -> jnp.ndarray:
     """
     b, n, _ = rows.shape
     return pl.pallas_call(
-        functools.partial(_combine_kernel, c),
+        functools.partial(_combine_kernel, c, d, h, w),
         grid=(b, -(-n // _ROWS_BLK)),
         in_specs=[
             pl.BlockSpec((None, _ROWS_BLK, 8 * c), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, _ROWS_BLK, 8), lambda i, j: (i, j, 0),
+            pl.BlockSpec((None, _ROWS_BLK, 3), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((None, _ROWS_BLK, c), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n, c), rows.dtype),
         interpret=(jax.default_backend() != "tpu"),
-    )(rows, wgt.astype(jnp.float32))
+    )(rows, coords.astype(jnp.float32))
 
 
-def _updates_kernel(c: int, g_ref, wgt_ref, out_ref):
-    """g [blk, C], wgt [blk, 8] f32 -> updates [blk, 8C] (one pass)."""
-    g = g_ref[:].astype(jnp.float32)
-    w = wgt_ref[:]
-    for t in range(8):
-        out_ref[:, t * c:(t + 1) * c] = (w[:, t:t + 1] * g).astype(
-            out_ref.dtype)
+def _updates_kernel(c: int, d: int, h: int, w: int, g_ref, crd_ref, out_ref):
+    """g [blk, C], crd [blk, 3] f32 -> updates [blk, 8C] (one pass)."""
+    def body(k, _):
+        sl = pl.ds(k * _ROWS_SUB, _ROWS_SUB)
+        g = g_ref[sl, :].astype(jnp.float32)
+        wgt = _kernel_tap_weights(crd_ref[sl, :], d, h, w)
+        for t in range(8):
+            out_ref[sl, t * c:(t + 1) * c] = (wgt[t] * g).astype(
+                out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, _ROWS_BLK // _ROWS_SUB, body, 0)
 
 
-def _build_updates(g: jnp.ndarray, wgt: jnp.ndarray, c: int,
-                   out_dtype) -> jnp.ndarray:
-    """One-pass scatter-update build: [B, N, C] x [B, N, 8] -> [B, N, 8C].
+def _build_updates(g: jnp.ndarray, coords: jnp.ndarray, c: int,
+                   d: int, h: int, w: int, out_dtype) -> jnp.ndarray:
+    """One-pass scatter-update build: [B, N, C] x coords [B, N, 3]
+    -> [B, N, 8C]; tap weights computed in-kernel.
 
     The concat-of-products form spent two extra passes over the [N, 8C]
     stream (~8 ms/step at DDAD shapes f32, ~5 ms bf16)."""
     b, n, _ = g.shape
     return pl.pallas_call(
-        functools.partial(_updates_kernel, c),
+        functools.partial(_updates_kernel, c, d, h, w),
         grid=(b, -(-n // _ROWS_BLK)),
         in_specs=[
             pl.BlockSpec((None, _ROWS_BLK, c), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, _ROWS_BLK, 8), lambda i, j: (i, j, 0),
+            pl.BlockSpec((None, _ROWS_BLK, 3), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((None, _ROWS_BLK, 8 * c), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n, 8 * c), out_dtype),
         interpret=(jax.default_backend() != "tpu"),
-    )(g, wgt.astype(jnp.float32))
+    )(g, coords.astype(jnp.float32))
 
 
-def _axis_weights(coord: jnp.ndarray, size: int):
-    """Clamped footprint base + the 2 per-axis tap weights.
-
-    For pixel coordinate p with floor p0 and frac t:
-      base = clip(p0, 0, size-2), off = p0 - base
-      w(ch0 @ base)   = (1-t)*[off==0] + t*[off==-1]
-      w(ch1 @ base+1) = t*[off==0] + (1-t)*[off==+1]
-    which equals zeros-padding bilinear on that axis for every case
-    (|off| > 1 -> both weights 0).
-    """
-    p0 = jnp.floor(coord)
-    t = coord - p0
-    i0 = p0.astype(jnp.int32)
-    base = jnp.clip(i0, 0, size - 2)
-    off = i0 - base
-    is0 = (off == 0).astype(coord.dtype)
-    ism1 = (off == -1).astype(coord.dtype)
-    isp1 = (off == 1).astype(coord.dtype)
-    w0 = (1 - t) * is0 + t * ism1
-    w1 = t * is0 + (1 - t) * isp1
-    return base, w0, w1
-
-
-def _tap_index_weights(coords: jnp.ndarray, d: int, h: int, w: int):
+def _tap_index(coords: jnp.ndarray, d: int, h: int, w: int):
     """coords [B, N, 3] (x, y, z normalized) -> flat base idx [B, N] into
-    (h*w*d) in [y, x, z] order + tap weights [B, N, 8] (z fastest)."""
+    (h*w*d) in [y, x, z] order. The 8 tap weights are computed INSIDE the
+    combine/updates kernels (_kernel_tap_weights) from the same coords —
+    materializing them host-side cost ~20 ms/step of lane-padded streams."""
     finite = jnp.all(jnp.isfinite(coords), axis=-1)
     coords = jnp.where(finite[..., None], coords, -4.0)
     x = (coords[..., 0] + 1.0) * 0.5 * (w - 1)
     y = (coords[..., 1] + 1.0) * 0.5 * (h - 1)
     z = (coords[..., 2] + 1.0) * 0.5 * (d - 1)
-    xb, wx0, wx1 = _axis_weights(x, w)
-    yb, wy0, wy1 = _axis_weights(y, h)
-    zb, wz0, wz1 = _axis_weights(z, d)
-    idx = (yb * w + xb) * d + zb
-    # tap order must match _build_oct: (dy, dx, dz) with dz fastest
-    wgt = jnp.stack([
-        wy0 * wx0 * wz0, wy0 * wx0 * wz1,
-        wy0 * wx1 * wz0, wy0 * wx1 * wz1,
-        wy1 * wx0 * wz0, wy1 * wx0 * wz1,
-        wy1 * wx1 * wz0, wy1 * wx1 * wz1,
-    ], axis=-1)
-    return idx, wgt
+    xb = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, w - 2)
+    yb = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, h - 2)
+    zb = jnp.clip(jnp.floor(z).astype(jnp.int32), 0, d - 2)
+    return (yb * w + xb) * d + zb
 
 
 def _shift(a: jnp.ndarray, axis: int, delta: int) -> jnp.ndarray:
@@ -221,7 +263,7 @@ def _packed_fwd_impl(vol, coords):
     coords_flat = coords.reshape(b, -1, 3)
     vol_t = jnp.moveaxis(vol, 1, 3)  # [B, H, W, D, C]
     oct = _build_oct(vol_t)
-    idx, wgt = _tap_index_weights(coords_flat, d, h, w)
+    idx = _tap_index(coords_flat, d, h, w)
     # bases clamp per-axis to [0, size-2] so the flat index is always in
     # bounds — promising it skips XLA's out-of-bounds select pass over the
     # [N, 8C] gather output (~3.6 ms/step at DDAD shapes)
@@ -230,7 +272,7 @@ def _packed_fwd_impl(vol, coords):
     # one-pass Pallas tap combine (a [N, 8, c] reshape view makes XLA
     # materialize a transposed copy of the 0.6 GB gather output; the
     # 8-slice fma loop re-streams it through several fusions)
-    out = _combine_taps(rows, wgt, c)
+    out = _combine_taps(rows, coords_flat, c, d, h, w)
     return out.reshape((b,) + pts_shape + (c,))
 
 
@@ -246,12 +288,12 @@ def _packed_bwd(grad_dtype, res, g):
     coords_flat = coords.reshape(b, -1, 3)
     n = coords_flat.shape[1]
     g_flat = g.reshape(b, n, c)
-    idx, wgt = _tap_index_weights(coords_flat, d, h, w)
+    idx = _tap_index(coords_flat, d, h, w)
     # Build [n, 8c] in ONE Pallas pass (the concat-of-products form and the
     # [n, 8, c] broadcast form both re-streamed the 8C-wide row stream
     # through extra fusions / transpose copies). Products are computed in
     # f32 and rounded once to acc_dtype (see _GRAD_DTYPES on bf16).
-    updates = _build_updates(g_flat, wgt, c, acc_dtype)
+    updates = _build_updates(g_flat, coords_flat, c, d, h, w, acc_dtype)
     acc = jnp.zeros((b, h * w * d, 8 * c), acc_dtype)
     acc = jax.vmap(lambda a, i, u: a.at[i].add(u))(acc, idx, updates)
     acc = acc.reshape(b, h, w, d, 8, c)

@@ -252,7 +252,7 @@ def _prep(img, mask, coords, layout="strip"):
     return src, x, y, n, n_pad
 
 
-def _fwd_call(src, x, y, h, w, w_pad, n_pad, sh, sw_max):
+def _fwd_call(src, x, y, h, w, w_pad, n_pad, sh, sw_max, out_dtype):
     b = src.shape[0]
     rows = _BLOCK_T // _MICRO
     grid = (b, n_pad // _BLOCK_T)
@@ -276,7 +276,13 @@ def _fwd_call(src, x, y, h, w, w_pad, n_pad, sh, sw_max):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, _C + 1, n_pad), jnp.bfloat16),
+            jax.ShapeDtypeStruct((b, _C + 1, n_pad), out_dtype),
+            # the d/dx, d/dy maps only ever multiply the upstream gradient
+            # (bwd below): bf16 streaming halves their HBM writes and the
+            # patch-layout permute copies behind them, at a zero-mean ~0.4%
+            # relative rounding of COORDINATE gradients only (the warped
+            # values stay exact in out_dtype; cosine-bounded in
+            # tests/test_warp_mxu.py)
             jax.ShapeDtypeStruct((b, _C, n_pad), jnp.bfloat16),
             jax.ShapeDtypeStruct((b, _C, n_pad), jnp.bfloat16),
         ],
@@ -292,8 +298,13 @@ def _fwd_call(src, x, y, h, w, w_pad, n_pad, sh, sw_max):
 def _run(img, mask, coords, layout):
     h, w = img.shape[1], img.shape[2]
     src, x, y, n, n_pad = _prep(img, mask, coords, layout)
+    # Outputs stream to HBM in the image's own dtype: bf16 in production
+    # (halves the kernel's writes and the patch-permute copies behind it),
+    # f32 when mixed precision is off — an f32 config must not round warped
+    # values to bf16 (bf16-ulp flips amplify cross-compilation f32 noise
+    # through the discrete automask, breaking SPMD numeric-equivalence).
     out, ddx, ddy = _fwd_call(src, x, y, h, w, src.shape[-1], n_pad,
-                              _SH[layout], _SW[layout])
+                              _SH[layout], _SW[layout], img.dtype)
     if layout == "patch" and _patchable(h, w, coords.shape[1]):
         # back to canonical row-major order (residuals included, so the
         # backward dot needs no permutation)

@@ -128,7 +128,12 @@ class VFDepthModel:
         sampler_2d = cfg.get("sampler_2d")
         if sampler_2d is None:
             sampler_2d = "auto" if cfg.get("use_pallas", True) else "matmul"
-        sampler_3d = cfg.get("sampler_3d", "packed")
+        sampler_3d = cfg.get("sampler_3d") or (
+            # auto: the packed sampler's bf16 backward-scatter updates are a
+            # mixed-precision optimization; an f32 config keeps exact f32
+            # accumulation unless 'packed' is requested explicitly
+            "packed" if self.compute_dtype == jnp.bfloat16
+            else "packed_f32grad")
 
         # statics for the model-level merged back-projection (the sampling
         # stage has no learned params: models/vfnet.py backproject_features)
