@@ -154,3 +154,102 @@ def test_pallas_backward_grid_channel_chunks():
         (dref,) = vjp_s(gct[..., o:o + 128])
         np.testing.assert_allclose(np.asarray(dimg[..., o:o + 128]),
                                    np.asarray(dref), atol=1e-4)
+
+
+def test_bwd_kernel_ignores_nan_tail_rows():
+    """Regression: the backward kernel's grid need not divide N, and the
+    partial last block's out-of-bounds rows of g AND valid are undefined
+    memory that can hold NaN bit patterns. One NaN row poisons the whole
+    per-camera accumulator through the matmul contraction (the root cause
+    of a whole-training NaN that flipped with unrelated config changes —
+    the garbage contents depend on buffer reuse). Simulate the undefined
+    tail deterministically: pad g/coords/valid with NaN up to the block
+    size and pass the true point count as n_valid — the kernel must
+    reproduce the unpadded result exactly, for both the plain and the
+    group-reduced layouts."""
+    from vfdepth_tpu.ops.pallas_sample import _bwd_call, _BLOCK_N
+
+    rng = np.random.RandomState(13)
+    b, h, w, c, n = 2, 16, 80, 8, 700
+    coords = rng.uniform(-1.2, 1.2, (b, n, 2)).astype(np.float32)
+    g = rng.randn(b, n, c).astype(np.float32)
+    valid = (rng.rand(b, n) > 0.3).astype(np.float32)
+
+    ref = np.asarray(_bwd_call(jnp.asarray(g), jnp.asarray(coords), h, w,
+                               valid=jnp.asarray(valid)))
+
+    pad = _BLOCK_N - n
+    nanpad = lambda a: np.pad(a, [(0, 0), (0, pad)] + [(0, 0)] * (a.ndim - 2),
+                              constant_values=np.nan)
+    got = np.asarray(_bwd_call(
+        jnp.asarray(nanpad(g)), jnp.asarray(nanpad(coords)), h, w,
+        valid=jnp.asarray(nanpad(valid)), n_valid=n))
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+    # grouped layout: g is [b, 2, N, C] group sums, cameras read their
+    # group's block gated by per-camera validity
+    gs = 2
+    cams = 2 * gs
+    cg = rng.uniform(-1.2, 1.2, (b * cams, n, 2)).astype(np.float32)
+    gg = rng.randn(b, 2, n, c).astype(np.float32)
+    vg = (rng.rand(b * cams, n) > 0.3).astype(np.float32)
+    ref_g = np.asarray(_bwd_call(jnp.asarray(gg), jnp.asarray(cg), h, w,
+                                 valid=jnp.asarray(vg), group_size=gs))
+    nanpad2 = lambda a, ax: np.pad(
+        a, [(0, 0)] * ax + [(0, pad)] + [(0, 0)] * (a.ndim - ax - 1),
+        constant_values=np.nan)
+    got_g = np.asarray(_bwd_call(
+        jnp.asarray(nanpad2(gg, 2)), jnp.asarray(nanpad2(cg, 1)), h, w,
+        valid=jnp.asarray(nanpad2(vg, 1)), group_size=gs, n_valid=n))
+    assert np.isfinite(got_g).all()
+    np.testing.assert_allclose(got_g, ref_g, atol=1e-6)
+
+
+def test_backproject_grouped_matches_per_camera_sums():
+    """The group-reduced kernel (camera axis summed in-kernel into the two
+    static overlap groups, backward gated by the forward-emitted
+    per-camera validity) must
+    match per-camera sample_backproject_pallas summed by groups — values,
+    count, and image gradients."""
+    from vfdepth_tpu.ops.pallas_sample import (
+        sample_backproject_grouped_pallas, sample_backproject_pallas)
+
+    rng = np.random.RandomState(11)
+    b, gs, h, w, c, n = 2, 2, 32, 80, 8, 2000
+    cams = 2 * gs
+    img = jnp.asarray(rng.randn(b * cams, h, w, c).astype(np.float32))
+    mask = jnp.asarray((rng.rand(b * cams, h, w, 1) > 0.3).astype(np.float32))
+    coords = rng.uniform(-1.2, 1.2, (b * cams, n, 2)).astype(np.float32)
+    coords[:, -300:] = -3.0       # sanitized (invalid) points
+    coords = jnp.asarray(coords)
+    rel = jnp.asarray(rng.randn(b * cams, n).astype(np.float32))
+
+    feat_g, cnt_g = sample_backproject_grouped_pallas(
+        img, mask, coords, rel, b, gs)
+    assert feat_g.shape == (b, 2, n, c + 1) and cnt_g.shape == (b, 2, n)
+
+    out, valid = sample_backproject_pallas(img, mask, coords, rel)
+    out = np.asarray(out).reshape(b, 2, gs, n, c + 1)
+    valid = np.asarray(valid).reshape(b, 2, gs, n)
+    np.testing.assert_allclose(np.asarray(feat_g), out.sum(2),
+                               atol=3e-2, rtol=3e-2)
+    np.testing.assert_allclose(np.asarray(cnt_g), valid.sum(2), atol=0)
+
+    # image gradient: each camera reads its group's cotangent, gated by its
+    # own (forward-emitted) validity
+    tgt = jnp.asarray(rng.randn(b, 2, n, c + 1).astype(np.float32))
+
+    def loss_grouped(i):
+        f, _ = sample_backproject_grouped_pallas(i, mask, coords, rel, b, gs)
+        return jnp.sum((f.astype(jnp.float32) * tgt) ** 2)
+
+    def loss_ref(i):
+        f, _ = sample_backproject_pallas(i, mask, coords, rel)
+        fg = jnp.sum(f.reshape(b, 2, gs, n, c + 1), axis=2)
+        return jnp.sum((fg.astype(jnp.float32) * tgt) ** 2)
+
+    gi = np.asarray(jax.grad(loss_grouped)(img))
+    gi_ref = np.asarray(jax.grad(loss_ref)(img))
+    scale = np.abs(gi_ref).max()
+    np.testing.assert_allclose(gi, gi_ref, atol=0.05 * scale, rtol=0.05)

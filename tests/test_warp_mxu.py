@@ -161,3 +161,31 @@ def test_patch_layout_equals_strip():
     gp = jax.grad(lambda c: loss(c, "patch"))(coords)
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gs),
                                atol=1e-2, rtol=1e-2)
+
+
+def test_huge_finite_coords_no_nan():
+    """NDC coords that are finite but overflow the pixel transform to inf
+    (near-zero projection depths produce |ndc| up to ~3e38) must behave
+    like any other far-out-of-image point: zero output, zero mask, zero
+    coordinate gradient — never NaN (inf - floor(inf) = NaN poisoned the
+    tap weights before the _prep clamp)."""
+    img, mask, coords = _setup(11, b=1)
+    c = np.array(coords)
+    c[:, 20:40] = 3.0e38
+    c[:, 40:60, 0] = -3.2e38
+    c[:, 40:60, 1] = 0.0
+    c[:, 60:80] = 1e30
+    coords = jnp.asarray(c)
+
+    for layout in ("strip", "patch"):
+        im, mm = warp_image_mask_mxu(img, mask, coords, layout=layout)
+        iq, mq = warp_image_mask_quad(img, mask, coords)
+        assert not bool(jnp.any(jnp.isnan(im)))
+        np.testing.assert_allclose(np.asarray(im), np.asarray(iq), atol=1e-2)
+        np.testing.assert_array_equal(np.asarray(mm), np.asarray(mq))
+
+        g = jax.grad(lambda cc: jnp.sum(
+            warp_image_mask_mxu(img, mask, cc, layout=layout)[0]
+            .astype(jnp.float32) ** 2))(coords)
+        assert not bool(jnp.any(jnp.isnan(g)))
+        np.testing.assert_array_equal(np.asarray(g[:, 20:80]), 0.0)

@@ -114,7 +114,8 @@ def warp_image_window(src_img: jnp.ndarray, src_mask: jnp.ndarray,
                       tar_depth: jnp.ndarray, tar_inv_k: jnp.ndarray,
                       src_k: jnp.ndarray, transform: jnp.ndarray,
                       origin: jnp.ndarray,
-                      box_hw: Tuple[Tuple[int, int], Tuple[int, int]]
+                      box_hw: Tuple[Tuple[int, int], Tuple[int, int]],
+                      warp_op: str = "quad",
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """``warp_image`` restricted to per-element target windows, pasted back
     into a zero canvas.
@@ -132,6 +133,7 @@ def warp_image_window(src_img: jnp.ndarray, src_mask: jnp.ndarray,
     shapes; docs/PERF.md).
     """
     from ..ops.warp_quad import warp_image_mask_quad
+    from ..ops.warp_mxu import warp_image_mask_mxu
 
     h, w, c = src_img.shape[-3], src_img.shape[-2], src_img.shape[-1]
     lead = src_img.shape[:-3]
@@ -148,7 +150,18 @@ def warp_image_window(src_img: jnp.ndarray, src_mask: jnp.ndarray,
         coords = project_coords_window(dep_box, org, transform, tar_inv_k,
                                        src_k, h, w)
         coords_flat = coords.reshape(n_lead, -1, 2)
-        img_b, mask_b = warp_image_mask_quad(img_flat, mask_flat, coords_flat)
+        if warp_op == "mxu":
+            # patch micro-tiles when the box is 16-aligned (estimate_window_hw
+            # rounds to (16, 64)), else strips; either way the kernel only
+            # processes the box's pixels
+            layout = ("patch" if box_h % 16 == 0 and box_w % 16 == 0
+                      else "strip")
+            img_b, mask_b = warp_image_mask_mxu(
+                img_flat, mask_flat, coords_flat, layout=layout,
+                coords_hw=(box_h, box_w))
+        else:
+            img_b, mask_b = warp_image_mask_quad(img_flat, mask_flat,
+                                                 coords_flat)
         img_b = img_b.reshape(lead + (box_h, box_w, c))
         mask_b = mask_b.reshape(lead + (box_h, box_w, 1))
 
@@ -316,7 +329,7 @@ def render_views(
             if origin is not None:
                 w_img, w_mask = warp_image_window(
                     src, nbr_mask, depn, invkn, nbr_k, pose,
-                    origin, box_hw)
+                    origin, box_hw, warp_op=warp_op)
             else:
                 w_img, w_mask = warp_image(src, nbr_mask, depn, invkn,
                                            nbr_k, pose, warp_op=warp_op,

@@ -299,7 +299,10 @@ def estimate_window_hw(
 
     out = []
     for slot in range(2):
-        box_h = min(_round_up(best[slot][0] + margin, 8), height)
+        # 16-row alignment keeps the boxes patchable by the MXU warp
+        # kernel's 16x16 micro-tiles (ops/warp_mxu.py); 64 columns is the
+        # quad path's historical lane alignment (also a multiple of 16)
+        box_h = min(_round_up(best[slot][0] + margin, 16), height)
         box_w = min(_round_up(best[slot][1] + margin, 64), width)
         out.append((box_h, box_w))
     return out[0], out[1]

@@ -117,28 +117,36 @@ class FusedDepthNet(nn.Module):
     ) -> Dict[str, jnp.ndarray]:
         lev = self.fusion_level
         feats, feats_agg = self.encode_aggregate(images, train)
-        feat, _, count = self.fusion_net.backproject_into_voxel(
-            feats_agg, mask, intrinsics, extrinsics_inv)
+        if self.fusion_net.grouped_backprojection:
+            feat, count = self.fusion_net.backproject_into_voxel_grouped(
+                feats_agg, mask, intrinsics, extrinsics_inv)
+            grouped = True
+        else:
+            feat, _, count = self.fusion_net.backproject_into_voxel(
+                feats_agg, mask, intrinsics, extrinsics_inv)
+            grouped = False
         return self.decode_from_backprojection(
             feat, count, [feats[i] for i in range(lev)], inv_k, extrinsics,
-            extrinsics_aug=extrinsics_aug, train=train)
+            extrinsics_aug=extrinsics_aug, train=train, grouped=grouped)
 
     def decode_from_backprojection(
         self,
-        feat: jnp.ndarray,            # [b, cams, n_vox, C+1]
+        feat: jnp.ndarray,            # [b, cams, n_vox, C+1] (or [b, 2, ...]
+                                      # group sums when grouped=True)
         count: jnp.ndarray,           # [b, n_vox]
         skip_feats: Sequence[jnp.ndarray],
         inv_k: jnp.ndarray,
         extrinsics: jnp.ndarray,
         extrinsics_aug: Optional[jnp.ndarray] = None,
         train: bool = True,
+        grouped: bool = False,
     ) -> Dict[str, jnp.ndarray]:
         """Voxel fusion + frustum reprojection + decoder, given the
         back-projected per-camera voxel features (possibly sampled through
         a kernel pass merged with the pose net's — the sampling carries no
         depth-net parameters)."""
         b, cams = inv_k.shape[:2]
-        voxel_feat = self.fusion_net.fuse_depth(feat, count)
+        voxel_feat = self.fusion_net.fuse_depth(feat, count, grouped=grouped)
         proj = self.fusion_net.project_voxel_into_image(
             voxel_feat, inv_k, extrinsics, train)
 
@@ -162,6 +170,10 @@ class FusedDepthNet(nn.Module):
         [b, n_voxels, C]. First half of the depth-synthesis sweep
         (reference ``volumetric_fusionnet.py:320-335``)."""
         _, feats_agg = self.encode_aggregate(images, train=False)
+        if self.fusion_net.grouped_backprojection:
+            feat, count = self.fusion_net.backproject_into_voxel_grouped(
+                feats_agg, mask, intrinsics, extrinsics_inv)
+            return self.fusion_net.fuse_depth(feat, count, grouped=True)
         feat, _, count = self.fusion_net.backproject_into_voxel(
             feats_agg, mask, intrinsics, extrinsics_inv)
         return self.fusion_net.fuse_depth(feat, count)
@@ -266,15 +278,18 @@ class FusedPoseNet(nn.Module):
         return feats_agg
 
     def pose_from_backprojection(self, feat: jnp.ndarray, count: jnp.ndarray,
-                                 train: bool = True, n_ctx: int = 1
+                                 train: bool = True, n_ctx: int = 1,
+                                 grouped: bool = False
                                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Back-projected per-camera voxel features -> (axisangle,
         translation). ``feat``/``count`` as returned by
         ``vfnet.backproject_features`` on this net's aggregated features
         (possibly sampled through a kernel pass merged with the depth
-        net's — the sampling itself carries no pose-net parameters)."""
+        net's — the sampling itself carries no pose-net parameters).
+        ``grouped``: feat is [b, 2, n, C+1] camera-group sums."""
         bev = self.fusion_net.pose_voxel_to_bev(feat, count, train=train,
-                                                frame_groups=n_ctx)
+                                                frame_groups=n_ctx,
+                                                grouped=grouped)
         axisangle, translation = self.pose_decoder(bev)
         # translation clamp +-4.0 m (reference fusion_posenet.py:72)
         return axisangle, jnp.clip(translation, -4.0, 4.0)
@@ -299,6 +314,11 @@ class FusedPoseNet(nn.Module):
         group-major ``[n_ctx*b, ...]``, identical to n_ctx separate calls."""
         feats_agg = self.encode_aggregate(cur_images, next_images,
                                           train=train, n_ctx=n_ctx)
+        if self.fusion_net.grouped_backprojection:
+            feat, count = self.fusion_net.backproject_into_voxel_grouped(
+                feats_agg, mask, intrinsics, extrinsics_inv)
+            return self.pose_from_backprojection(feat, count, train=train,
+                                                 n_ctx=n_ctx, grouped=True)
         feat, _, count = self.fusion_net.backproject_into_voxel(
             feats_agg, mask, intrinsics, extrinsics_inv)
         return self.pose_from_backprojection(feat, count, train=train,

@@ -37,37 +37,23 @@ from ..ops.sample3d_packed import grid_sample_3d_packed
 from ..ops.resize import resize_bilinear
 
 
-def backproject_features(
-    feats_agg: jnp.ndarray,       # [b, cams, h, w, C]
+def _project_voxel_coords(
     mask: jnp.ndarray,            # [b, cams, H, W, 1] self-occlusion
     intrinsics: jnp.ndarray,      # [b, cams, 4, 4] at fusion_level+1 scale
     extrinsics_inv: jnp.ndarray,  # [b, cams, 4, 4]
+    h_dim: int,
+    w_dim: int,
     *,
     voxel_str_p: Sequence[float],
     voxel_unit_size: Sequence[float],
     voxel_size: Sequence[int],
-    sampler_2d: str = "auto",
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Image-plane features -> per-camera voxel features (pure geometry).
+):
+    """The back-projection's coordinate/validity pipeline (pure geometry;
+    f32 — bf16 pixel coordinates would cost ~0.3 px of sampling accuracy).
 
-    The sampling stage of ``VFNet.backproject_into_voxel`` as a FREE
-    function: it involves no learned parameters (calibration einsums +
-    validity logic + the sampler kernel), which is what lets the model
-    merge the pose and depth nets' back-projections into ONE kernel pass —
-    their projected coordinates are identical (same rig, same fusion
-    level), so the per-path feature maps concatenate on channels and the
-    one-hot weight build (the dominant sampler cost on TPU) is paid once.
-
-    Returns (feat [b, cams, n, C+1] masked incl rel-depth, valid
-    [b, cams, n], count [b, n]); see the method for semantics
-    (reference ``network/volumetric_fusionnet.py:132-195``).
-    """
-    h_dim, w_dim = feats_agg.shape[-3], feats_agg.shape[-2]
-    dtype = feats_agg.dtype
-    # geometry stays f32 even under bf16 mixed precision: bf16 pixel
-    # coordinates would cost ~0.3 px of sampling accuracy
+    Returns (pix [b, cams, n, 2] SANITIZED, v_local [b, cams, n, 3],
+    mask_lowres, in_front [b, cams, n], in_bounds [b, cams, n])."""
     geo = jnp.float32
-
     vox = voxel_points_homo(voxel_str_p, voxel_unit_size, voxel_size,
                             geo)  # [4, n]
 
@@ -103,6 +89,41 @@ def backproject_features(
     # span (and its zero-iteration skip) see only true in-FOV points
     # (~2.3x fewer MACs on the DDAD rig).
     pix = jnp.where((in_front & in_bounds)[..., None], pix, -3.0)
+    return pix, v_local, mask_lowres, in_front, in_bounds
+
+
+def backproject_features(
+    feats_agg: jnp.ndarray,       # [b, cams, h, w, C]
+    mask: jnp.ndarray,            # [b, cams, H, W, 1] self-occlusion
+    intrinsics: jnp.ndarray,      # [b, cams, 4, 4] at fusion_level+1 scale
+    extrinsics_inv: jnp.ndarray,  # [b, cams, 4, 4]
+    *,
+    voxel_str_p: Sequence[float],
+    voxel_unit_size: Sequence[float],
+    voxel_size: Sequence[int],
+    sampler_2d: str = "auto",
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Image-plane features -> per-camera voxel features (pure geometry).
+
+    The sampling stage of ``VFNet.backproject_into_voxel`` as a FREE
+    function: it involves no learned parameters (calibration einsums +
+    validity logic + the sampler kernel), which is what lets the model
+    merge the pose and depth nets' back-projections into ONE kernel pass —
+    their projected coordinates are identical (same rig, same fusion
+    level), so the per-path feature maps concatenate on channels and the
+    one-hot weight build (the dominant sampler cost on TPU) is paid once.
+
+    Returns (feat [b, cams, n, C+1] masked incl rel-depth, valid
+    [b, cams, n], count [b, n]); see the method for semantics
+    (reference ``network/volumetric_fusionnet.py:132-195``).
+    """
+    h_dim, w_dim = feats_agg.shape[-3], feats_agg.shape[-2]
+    dtype = feats_agg.dtype
+    geo = jnp.float32
+    pix, v_local, mask_lowres, in_front, in_bounds = _project_voxel_coords(
+        mask, intrinsics, extrinsics_inv, h_dim, w_dim,
+        voxel_str_p=voxel_str_p, voxel_unit_size=voxel_unit_size,
+        voxel_size=voxel_size)
 
     # feature sampling: Pallas one-hot-matmul kernel on TPU (the XLA
     # gather/scatter pair costs ~180 ms fwd+bwd and minutes of compile;
@@ -153,6 +174,74 @@ def backproject_features(
 
     count = jnp.sum(valid, axis=1)  # [b, n]
     return feat, valid, count
+
+
+def grouped_backprojection_ok(groups, num_cams: int, sampler_2d: str) -> bool:
+    """Whether the group-reduced back-projection kernel applies: the two
+    static camera groups must partition the rig with EQUAL sizes (the
+    kernel grid carries group_size as a static camera axis) and the pallas
+    sampler must be selected (it hosts the in-kernel reduction)."""
+    sampler = sampler_2d
+    if sampler == "auto":
+        sampler = "pallas" if jax.default_backend() == "tpu" else "gather"
+    g1 = [c for c in groups[0] if c < num_cams]
+    g2 = [c for c in groups[1] if c < num_cams]
+    return (sampler == "pallas" and len(g1) == len(g2) and len(g1) > 0
+            and sorted(g1 + g2) == list(range(num_cams)))
+
+
+def backproject_features_grouped(
+    feats_agg: jnp.ndarray,       # [b, cams, h, w, C]
+    mask: jnp.ndarray,            # [b, cams, H, W, 1] self-occlusion
+    intrinsics: jnp.ndarray,      # [b, cams, 4, 4] at fusion_level+1 scale
+    extrinsics_inv: jnp.ndarray,  # [b, cams, 4, 4]
+    *,
+    voxel_str_p: Sequence[float],
+    voxel_unit_size: Sequence[float],
+    voxel_size: Sequence[int],
+    groups,
+    sampler_2d: str = "auto",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """``backproject_features`` with the camera axis reduced IN-KERNEL into
+    the two static overlap groups (requires ``grouped_backprojection_ok``).
+
+    Returns (feat_g [b, 2, n, C+1] group sums of the masked features incl
+    rel-depth, count [b, n]). The per-camera [b, cams, n, C+1] tensor —
+    ~1.9 GB at DDAD merged shapes, plus its backward cotangent and the
+    caller-side group-sum / broadcast passes (~20 ms/step) — never exists:
+    fuse_depth and the pose camera-mean only ever consume these sums
+    (reference ``network/volumetric_fusionnet.py:154-162, 197-230``)."""
+    from ..ops.pallas_sample import sample_backproject_grouped_pallas
+
+    h_dim, w_dim = feats_agg.shape[-3], feats_agg.shape[-2]
+    dtype = feats_agg.dtype
+    g1 = [c for c in groups[0] if c < feats_agg.shape[1]]
+    g2 = [c for c in groups[1] if c < feats_agg.shape[1]]
+    order = g1 + g2
+    gs = len(g1)
+    # static group-major camera reorder OUTSIDE the custom_vjp (autodiff
+    # un-permutes the image cotangent automatically)
+    feats_agg = feats_agg[:, order]
+    mask = mask[:, order]
+    intrinsics = intrinsics[:, order]
+    extrinsics_inv = extrinsics_inv[:, order]
+
+    pix, v_local, mask_lowres, _, _ = _project_voxel_coords(
+        mask, intrinsics, extrinsics_inv, h_dim, w_dim,
+        voxel_str_p=voxel_str_p, voxel_unit_size=voxel_unit_size,
+        voxel_size=voxel_size)
+
+    b_, cams_ = feats_agg.shape[:2]
+    rel_depth_pts = (v_local[..., 2] / voxel_size[0]).astype(jnp.float32)
+    fv, cnt = sample_backproject_grouped_pallas(
+        feats_agg.reshape((b_ * cams_,) + feats_agg.shape[2:]),
+        mask_lowres.reshape((b_ * cams_,) + mask_lowres.shape[2:]),
+        pix.reshape(b_ * cams_, -1, 2),
+        rel_depth_pts.reshape(b_ * cams_, -1),
+        b_, gs)
+    feat_g = fv.astype(dtype)                       # [b, 2, n, C+1]
+    count = jnp.sum(jax.lax.stop_gradient(cnt), axis=1).astype(dtype)
+    return feat_g, count
 
 
 class VFNet(nn.Module):
@@ -243,25 +332,74 @@ class VFNet(nn.Module):
             voxel_size=self.voxel_size,
             sampler_2d=self.sampler_2d)
 
+    @property
+    def grouped_backprojection(self) -> bool:
+        """Whether back-projection runs group-reduced (the camera axis
+        summed into the two overlap groups INSIDE the sampler kernel)."""
+        return grouped_backprojection_ok(self.overlap_groups, self.num_cams,
+                                         self.sampler_2d)
 
-    def fuse_depth(self, feat: jnp.ndarray, count: jnp.ndarray) -> jnp.ndarray:
+    def backproject_into_voxel_grouped(
+        self,
+        feats_agg: jnp.ndarray,     # [b, cams, h, w, C]
+        mask: jnp.ndarray,          # [b, cams, H, W, 1] self-occlusion
+        intrinsics: jnp.ndarray,    # [b, cams, 4, 4] at fusion_level+1 scale
+        extrinsics_inv: jnp.ndarray,  # [b, cams, 4, 4]
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Group-reduced back-projection: (feat_g [b, 2, n, C+1], count).
+        Requires ``self.grouped_backprojection``."""
+        return backproject_features_grouped(
+            feats_agg, mask, intrinsics, extrinsics_inv,
+            voxel_str_p=self.voxel_str_p,
+            voxel_unit_size=self.voxel_unit_size,
+            voxel_size=self.voxel_size,
+            groups=self.overlap_groups,
+            sampler_2d=self.sampler_2d)
+
+    def fuse_depth(self, feat: jnp.ndarray, count: jnp.ndarray,
+                   grouped: bool = False) -> jnp.ndarray:
         """Overlap-aware fusion (reference :154-158, :197-230).
 
         Non-overlap voxels (seen by exactly 1 camera): summed features through
         one MLP. Overlap voxels (exactly 2): the two static camera-group sums
         concatenated through another MLP. Outputs [b, n, voxel_pre_dim[-1]].
+
+        grouped: ``feat`` is [b, 2, n, C] group sums straight from the
+        group-reduced sampler kernel — the only camera-axis reads below ARE
+        these sums, so nothing else changes.
         """
         dtype = feat.dtype
         non_overlap_mask = (count == 1).astype(dtype)[..., None]  # [b, n, 1]
         g1, g2 = self.overlap_groups
         g1 = [c for c in g1 if c < self.num_cams]
         g2 = [c for c in g2 if c < self.num_cams]
-        # static per-camera slices + adds (advanced indexing with a traced
-        # index array lowers to a loop-carried gather on TPU; this fuses).
-        # custom VJP: the slice-adds' autodiff backward is one zero-pad +
-        # add pass PER CAMERA over [b, n, C] (~4.6 ms/step at DDAD shapes);
-        # the true cotangent is just "each camera reads its group's grad" —
-        # a single stack.
+        if grouped:
+            feat1, feat2 = feat[:, 0], feat[:, 1]
+            total = feat1 + feat2
+        else:
+            feat1, feat2, total = self._camera_group_sums(feat, g1, g2)
+
+        x_no = total * non_overlap_mask
+        for blk in self.conv_non_overlap:
+            x_no = blk(x_no)
+        x_no = x_no * non_overlap_mask
+        overlap_mask = (count == 2).astype(dtype)[..., None]
+        x_o = jnp.concatenate([feat1, feat2], axis=-1)
+        for blk in self.conv_overlap:
+            x_o = blk(x_o)
+        x_o = x_o * overlap_mask
+        return x_no + x_o
+
+    def _camera_group_sums(self, feat: jnp.ndarray, g1, g2):
+        """Static camera-group sums of per-camera feat [b, cams, n, C]
+        (ungrouped path) -> (feat1, feat2, total).
+
+        Static per-camera slices + adds (advanced indexing with a traced
+        index array lowers to a loop-carried gather on TPU; this fuses).
+        custom VJP: the slice-adds' autodiff backward is one zero-pad +
+        add pass PER CAMERA over [b, n, C] (~4.6 ms/step at DDAD shapes);
+        the true cotangent is just "each camera reads its group's grad" —
+        a single stack."""
         n_cams = self.num_cams
 
         @jax.custom_vjp
@@ -298,17 +436,7 @@ class VFNet(nn.Module):
         # is their sum — one fewer full pass over the [b, cams, n, C] stream
         total = (feat1 + feat2 if sorted(g1 + g2) == list(range(self.num_cams))
                  else jnp.sum(feat, axis=1))
-
-        x_no = total * non_overlap_mask
-        for blk in self.conv_non_overlap:
-            x_no = blk(x_no)
-        x_no = x_no * non_overlap_mask
-        overlap_mask = (count == 2).astype(dtype)[..., None]
-        x_o = jnp.concatenate([feat1, feat2], axis=-1)
-        for blk in self.conv_overlap:
-            x_o = blk(x_o)
-        x_o = x_o * overlap_mask
-        return x_no + x_o
+        return feat1, feat2, total
 
     def project_voxel_into_image(
         self,
@@ -429,10 +557,15 @@ class VFNet(nn.Module):
 
     def pose_voxel_to_bev(self, feat: jnp.ndarray, count: jnp.ndarray,
                           train: bool = True,
-                          frame_groups: int = 1) -> jnp.ndarray:
+                          frame_groups: int = 1,
+                          grouped: bool = False) -> jnp.ndarray:
         """Pose branch after back-projection: visibility-weighted camera
-        mean (reference :160-162), frame-group split, BEV reduction."""
-        voxel_feat = jnp.sum(feat, axis=1) / (count[..., None] + 1e-7)
+        mean (reference :160-162), frame-group split, BEV reduction.
+
+        grouped: ``feat`` is [b, 2, n, C] camera-group sums — the all-camera
+        sum is their sum (the groups partition the rig)."""
+        total = feat[:, 0] + feat[:, 1] if grouped else jnp.sum(feat, axis=1)
+        voxel_feat = total / (count[..., None] + 1e-7)
         if frame_groups > 1:
             # split the channel groups back out; the appended rel-depth
             # channel (last) is shared geometry, each group gets a copy

@@ -123,7 +123,7 @@ def _wy_band(iy0, ty, o_kw, tile, w, h, sb, transpose=False):
 
 
 def _fwd_kernel(h: int, w: int, sb: int, with_mask: bool, fold_valid: bool,
-                n_valid: int, img_ref, coords_ref, *rest):
+                n_valid: int, grouped: bool, img_ref, coords_ref, *rest):
     """img (bf16) [h*w, C]; coords [BLOCK_N, 2(+1)]; out [BLOCK_N, C(+1|+2)].
 
     with_mask: an extra input mask2d (bf16) [h_pad, w] is NEAREST-sampled
@@ -139,14 +139,31 @@ def _fwd_kernel(h: int, w: int, sb: int, with_mask: bool, fold_valid: bool,
     concat, validity broadcast) into the kernel's VMEM epilogue. Callers
     must pre-sanitize coords of points they consider invalid (behind camera
     / out of NDC bounds) out of tap range; the kernel then reproduces
-    ``feat_cat * valid`` of vfnet.backproject_into_voxel bit-for-bit."""
-    if with_mask:
+    ``feat_cat * valid`` of vfnet.backproject_into_voxel bit-for-bit.
+
+    grouped (implies fold_valid): the grid carries a trailing camera axis
+    (innermost, so consecutive steps revisit the same out block) and the
+    per-point epilogue row ACCUMULATES into the out block — the static
+    camera-group sums consumed by fuse_depth/pose (the only way the
+    per-camera features are ever read) are formed here, so the
+    [cams, N, C]-sized per-camera tensor and its backward cotangent never
+    exist in HBM. bf16 += matches the old caller-side group-sum numerics.
+    A second PER-CAMERA output [BLOCK_N, 1] records each point's validity
+    (written per camera step, not accumulated) — the backward's gate, so
+    it needs no in-kernel mask re-sampling."""
+    valid_ref = None
+    if grouped:
+        mask_ref, out_ref, valid_ref = rest
+    elif with_mask:
         mask_ref, out_ref = rest
     else:
         (out_ref,) = rest
     c = out_ref.shape[-1] - ((2 if fold_valid else 1) if with_mask else 0)
 
-    blk = pl.program_id(1)
+    blk = pl.program_id(2 if grouped else 1)
+    # hoisted: program_id is unavailable inside nested (fori_loop) jaxprs
+    # under the CPU HLO interpreter
+    cam = pl.program_id(3) if grouped else None
 
     def body(k, _):
         sl = pl.ds(k * _TILE_N, _TILE_N)
@@ -197,7 +214,19 @@ def _fwd_kernel(h: int, w: int, sb: int, with_mask: bool, fold_valid: bool,
             rel = coords[:, 2:3]
             acc = jnp.concatenate(
                 [acc[:, :c] * valid, rel * valid, valid], axis=1)
-        out_ref[sl, :] = acc.astype(out_ref.dtype)
+        if grouped:
+            row = acc.astype(out_ref.dtype)
+            valid_ref[sl, :] = valid.astype(valid_ref.dtype)
+
+            @pl.when(cam == 0)
+            def _():
+                out_ref[sl, :] = row
+
+            @pl.when(cam != 0)
+            def _():
+                out_ref[sl, :] += row
+        else:
+            out_ref[sl, :] = acc.astype(out_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, _SUPER, body, 0)
@@ -219,7 +248,7 @@ def _bwd_kernel(h: int, w: int, sb: int, n_valid: int, with_valid: bool,
     emit a 2 MB transpose per sub-tile before this.
 
     with_valid: an extra [BLOCK_N, 1] bf16 input gates g rows (the
-    back-projection's validity mask — folding it here replaces a
+    back-projection's per-point validity — folding it here replaces a
     [cams, N, C]-sized XLA elementwise pass)."""
     if with_valid:
         valid_ref, out_ref, acc_ref = rest
@@ -242,11 +271,14 @@ def _bwd_kernel(h: int, w: int, sb: int, n_valid: int, with_valid: bool,
         ok = (row < n_valid)
         ohx = ohx * ok.astype(ohx.dtype)
         ohx_t_full = pltpu.repeat(ohx.T, sb, axis=0)   # [sb*w, tile]
-        # the undefined tail rows of g can be NaN: 0-weight x NaN = NaN in
-        # the dot, so zero them explicitly as well
+        # the undefined tail rows of g AND valid (out-of-bounds block reads
+        # past n_valid) can be NaN: 0-weight x NaN = NaN in the dot, and one
+        # NaN row poisons the whole accumulator through the contraction —
+        # zero BOTH explicitly (the where on g alone is not enough: a
+        # garbage-NaN valid tail re-poisons it through the multiply)
         g = jnp.where(ok, g_ref[sl, :], 0)
         if with_valid:
-            g = g * valid_ref[sl, :]
+            g = g * jnp.where(ok, valid_ref[sl, :], 0)
 
         def seg(s, _):
             o_kw = pl.multiple_of((lat + s * sb) * w, sb * w)
@@ -306,7 +338,7 @@ def _fwd_call(img_flat: jnp.ndarray, coords: jnp.ndarray, h: int, w: int,
     co = c + ((2 if fold_valid else 1) if with_mask else 0)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, h, w, _band_rows(h), with_mask,
-                          fold_valid, n),
+                          fold_valid, n, False),
         grid=(b, n_tiles),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((None, _BLOCK_N, co), lambda i, j: (i, j, 0),
@@ -316,8 +348,73 @@ def _fwd_call(img_flat: jnp.ndarray, coords: jnp.ndarray, h: int, w: int,
     )(*args)
 
 
+def _fwd_call_grouped(img_flat: jnp.ndarray, coords3: jnp.ndarray,
+                      mask2d: jnp.ndarray, h: int, w: int, b: int, gs: int):
+    """Group-reduced fused back-projection forward.
+
+    img_flat [b*2*gs, h*w, C] with cameras PRE-ORDERED group-major
+    (group 0's gs cameras, then group 1's); coords3 [b*2*gs, N, 3]
+    (x, y normalized + rel-depth, invalid points pre-sanitized); mask2d
+    [b*2*gs, h, w]. Returns ([b, 2, N, C+2], [b*2*gs, N, 1]): the
+    per-point epilogue [feat*valid, rel*valid, valid] SUMMED over each
+    group's cameras — the camera axis never exists in HBM for the
+    FEATURES (see _fwd_kernel grouped) — plus the tiny per-camera
+    validity written for the backward's gate."""
+    _, hw, c = img_flat.shape
+    n = coords3.shape[1]
+    n_tiles = -(-n // _BLOCK_N)
+
+    hp = _pad_rows(h) * w
+    if hp != hw:
+        img_flat = jnp.pad(img_flat, ((0, 0), (0, hp - hw), (0, 0)))
+    img_flat = img_flat.astype(jnp.bfloat16)
+    hr = _pad_rows(h)
+    if hr != h:
+        mask2d = jnp.pad(mask2d, ((0, 0), (0, hr - h), (0, 0)))
+    mask2d = mask2d.astype(jnp.bfloat16)
+
+    co = c + 2
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, h, w, _band_rows(h), True, True, n,
+                          True),
+        # camera innermost: consecutive steps revisit the (i, g, j) out
+        # block, which is what makes the in-kernel accumulation legal
+        grid=(b, 2, n_tiles, gs),
+        in_specs=[
+            pl.BlockSpec((None, hp, c),
+                         lambda i, g, j, k: ((i * 2 + g) * gs + k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, _BLOCK_N, 3),
+                         lambda i, g, j, k: ((i * 2 + g) * gs + k, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, hr, w),
+                         lambda i, g, j, k: ((i * 2 + g) * gs + k, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, None, _BLOCK_N, co),
+                         lambda i, g, j, k: (i, g, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, _BLOCK_N, 1),
+                         lambda i, g, j, k: ((i * 2 + g) * gs + k, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 2, n, co), jnp.bfloat16),
+            jax.ShapeDtypeStruct((b * 2 * gs, n, 1), jnp.bfloat16),
+        ],
+        # the camera-innermost grid double-buffers the [hp, C] feature-map
+        # block (it changes every step), pushing past the 16 MB scoped
+        # default at DDAD merged shapes (~20.3 MB); v5e VMEM is 128 MB
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024),
+        interpret=(jax.default_backend() != "tpu"),
+    )(img_flat, coords3, mask2d)
+
+
 def _bwd_call(g: jnp.ndarray, coords: jnp.ndarray, h: int, w: int,
-              c: int | None = None, valid: jnp.ndarray | None = None):
+              c: int | None = None, valid: jnp.ndarray | None = None,
+              group_size: int = 0, n_valid: int | None = None):
     """g [B, N, C_in] -> dimg_flat [B, h*w, c] (c defaults to C_in; pass
     c < C_in to ignore trailing cotangent columns — e.g. the fused
     back-projection's rel-depth/valid passthrough channels).
@@ -329,19 +426,42 @@ def _bwd_call(g: jnp.ndarray, coords: jnp.ndarray, h: int, w: int,
     (cheap, C-independent); rows/MACs are unchanged, and no caller-side g
     slice/copy is materialized.
 
-    valid [B, N]: optional per-point gate multiplied into g in-kernel."""
-    b, n, c_in = g.shape
+    valid [B, N]: optional per-point gate multiplied into g in-kernel.
+
+    group_size > 0: grouped mode — g is the GROUP-sum cotangent
+    [b, 2, N, C_in] (cameras pre-ordered group-major, B = b * 2 *
+    group_size flattened cameras in coords/valid); each camera reads its
+    group's g block, gated by its own validity."""
+    gs = group_size
+    if gs:
+        bb, _, n, c_in = g.shape
+        b = bb * 2 * gs
+    else:
+        b, n, c_in = g.shape
     if c is None:
         c = c_in
     cb = min(c, 256)                 # channel chunk width
+    if cb % 128 != 0 and cb != c_in:
+        # Mosaic lane rule: a block's last dim must be a multiple of 128 or
+        # equal the array's. A truncating chunk (c < c_in) that is not
+        # lane-aligned (small test shapes) must cover the full width; the
+        # extra trailing columns are computed and sliced off below.
+        cb = c_in
     n_cc = -(-c // cb)               # channel chunks (block-padded if ragged)
     n_tiles = -(-n // _BLOCK_N)      # grid need not divide n (tail masked)
 
     g = g.astype(jnp.bfloat16)  # halves the VMEM block (accumulator stays f32)
     hp = _pad_rows(h) * w
+    if gs:
+        g_spec = pl.BlockSpec(
+            (None, None, _BLOCK_N, cb),
+            lambda i, k, j: (i // (2 * gs), (i % (2 * gs)) // gs, j, k),
+            memory_space=pltpu.VMEM)
+    else:
+        g_spec = pl.BlockSpec((None, _BLOCK_N, cb), lambda i, k, j: (i, j, k),
+                              memory_space=pltpu.VMEM)
     in_specs = [
-        pl.BlockSpec((None, _BLOCK_N, cb), lambda i, k, j: (i, j, k),
-                     memory_space=pltpu.VMEM),
+        g_spec,
         pl.BlockSpec((None, _BLOCK_N, 2), lambda i, k, j: (i, j, 0),
                      memory_space=pltpu.VMEM),
     ]
@@ -352,17 +472,18 @@ def _bwd_call(g: jnp.ndarray, coords: jnp.ndarray, h: int, w: int,
             pl.BlockSpec((None, _BLOCK_N, 1), lambda i, k, j: (i, j, 0),
                          memory_space=pltpu.VMEM))
     out = pl.pallas_call(
-        functools.partial(_bwd_kernel, h, w, _band_rows(h), n,
+        functools.partial(_bwd_kernel, h, w, _band_rows(h),
+                          n if n_valid is None else n_valid,
                           valid is not None),
         grid=(b, n_cc, n_tiles),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((None, hp, cb), lambda i, k, j: (i, 0, k),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, hp, c), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((b, hp, n_cc * cb), jnp.bfloat16),
         scratch_shapes=[pltpu.VMEM((hp, cb), jnp.float32)],
         interpret=(jax.default_backend() != "tpu"),
     )(*args)
-    return out[:, :h * w]
+    return out[:, :h * w, :c] if n_cc * cb != c else out[:, :h * w]
 
 
 @jax.custom_vjp
@@ -493,3 +614,67 @@ def sample_backproject_pallas(img: jnp.ndarray, mask: jnp.ndarray,
     coords3 = jnp.concatenate(
         [coords, rel[..., None].astype(coords.dtype)], axis=-1)
     return _pallas_backproject(img, mask, coords3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _pallas_backproject_grouped(img, mask, coords3, b, gs):
+    h, w = img.shape[-3], img.shape[-2]
+    img_flat = img.reshape(img.shape[0], h * w, img.shape[-1])
+    fm, _ = _fwd_call_grouped(img_flat, coords3, mask[..., 0], h, w, b, gs)
+    fm = fm.astype(img.dtype)
+    # split INSIDE the custom_vjp (see _pallas_backproject): the backward
+    # consumes the feature cotangent directly, no pad-back pass
+    return fm[..., :-1], fm[..., -1]
+
+
+def _pallas_backproject_grouped_fwd(img, mask, coords3, b, gs):
+    h, w = img.shape[-3], img.shape[-2]
+    img_flat = img.reshape(img.shape[0], h * w, img.shape[-1])
+    fm, valid_pc = _fwd_call_grouped(img_flat, coords3, mask[..., 0], h, w,
+                                     b, gs)
+    fm = fm.astype(img.dtype)
+    return ((fm[..., :-1], fm[..., -1]),
+            (coords3, valid_pc, mask.shape, img.shape))
+
+
+def _pallas_backproject_grouped_bwd(b, gs, res, g):
+    coords3, valid_pc, mask_shape, img_shape = res
+    g_feat, _ = g        # the count channel is stop-gradient at every caller
+    h, w = img_shape[-3], img_shape[-2]
+    c = img_shape[-1]
+    # each camera reads its GROUP's cotangent block, gated by its own
+    # validity (the tiny per-camera [B, N] output of the forward kernel)
+    dimg_flat = _bwd_call(g_feat, coords3[..., :2], h, w, c=c,
+                          valid=valid_pc[..., 0], group_size=gs)
+    return (dimg_flat.reshape(img_shape).astype(g_feat.dtype),
+            jnp.zeros(mask_shape, g_feat.dtype), jnp.zeros_like(coords3))
+
+
+_pallas_backproject_grouped.defvjp(_pallas_backproject_grouped_fwd,
+                                   _pallas_backproject_grouped_bwd)
+
+
+def sample_backproject_grouped_pallas(
+        img: jnp.ndarray, mask: jnp.ndarray, coords: jnp.ndarray,
+        rel: jnp.ndarray, batch: int, group_size: int):
+    """Fused back-projection with the camera axis reduced IN-KERNEL into two
+    static camera-group sums (``VFNet.fuse_depth``'s {0,3,4}/{1,2,5} groups
+    — the only way the per-camera features are ever consumed; reference
+    ``network/volumetric_fusionnet.py:154-162, 209-230``).
+
+    img: [batch*2*group_size, H, W, C] with cameras PRE-ORDERED group-major;
+    mask: [same, H, W, 1]; coords: [same, N, 2] normalized (invalid points
+    pre-sanitized out of tap range); rel: [same, N].
+
+    Returns ([batch, 2, N, C+1], [batch, 2, N]) = group sums of
+    ([feat*valid, rel*valid], valid) — the second output's group sum over
+    axis 1 is the visibility count. The [cams, N, C] per-camera tensor and
+    its backward cotangent never exist in HBM (~20 ms/step of [6, 200k,
+    770]-sized streams at DDAD shapes); the forward emits each camera's
+    tiny per-point validity as a side output, which gates that camera's
+    read of its group's cotangent in the backward. Gradient flows to img
+    only. bf16 in-kernel accumulation matches the caller-side group-sum
+    numerics of the ungrouped path."""
+    coords3 = jnp.concatenate(
+        [coords, rel[..., None].astype(coords.dtype)], axis=-1)
+    return _pallas_backproject_grouped(img, mask, coords3, batch, group_size)

@@ -211,8 +211,12 @@ def _from_patches(a, h, w):
     return jnp.transpose(a, (0, 1, 2, 4, 3, 5)).reshape(b, c, h * w)
 
 
-def _prep(img, mask, coords, layout="strip"):
-    """-> (src [B, C+1, H, Wp] bf16, x, y [B, Np/_MICRO, _MICRO] f32, n, np)."""
+def _prep(img, mask, coords, layout="strip", coords_hw=None):
+    """-> (src [B, C+1, H, Wp] bf16, x, y [B, Np/_MICRO, _MICRO] f32, n, np).
+
+    coords_hw: the target-pixel grid shape behind ``coords`` (defaults to
+    the source image shape) — windowed warps pass the window box shape so
+    the patch layout applies to the box, not the source."""
     b, h, w, c = img.shape
     sh = _SH[layout]
     assert c == _C, f"warp_mxu expects {_C} image channels, got {c}"
@@ -235,13 +239,21 @@ def _prep(img, mask, coords, layout="strip"):
     # rounding and flips nearest-mask picks at ties
     x = (jnp.where(finite, coords[..., 0], -4.0) + 1.0) * (0.5 * (w - 1))
     y = (jnp.where(finite, coords[..., 1], -4.0) + 1.0) * (0.5 * (h - 1))
-    if layout == "patch" and _patchable(h, w, n):
+    # Huge-but-finite NDC coords (near-zero projection depth) overflow the
+    # transform above to +-inf, and inf - floor(inf) = NaN inside the
+    # kernel's tap weights (the quad gather path clamps instead). Any
+    # |pixel| beyond the image is an all-dead tap with zero coordinate
+    # gradient either way, so a finite clamp is semantics-preserving.
+    x = jnp.clip(x, -1e6, 1e6)
+    y = jnp.clip(y, -1e6, 1e6)
+    th, tw = coords_hw or (h, w)
+    if layout == "patch" and _patchable(th, tw, n):
         # each micro-tile becomes a 16x16 target patch: cross-camera warps
         # have x/y spreads proportional to the patch extent, so square
         # patches hit far fewer (y-band x x-window) cells than 0.4-row
         # linear strips (the kernel itself is pixel-order oblivious)
-        x = _to_patches(x, h, w)
-        y = _to_patches(y, h, w)
+        x = _to_patches(x, th, tw)
+        y = _to_patches(y, th, tw)
     n_pad = -(-n // _BLOCK_T) * _BLOCK_T
     if n_pad != n:
         pad = ((0, 0), (0, n_pad - n))
@@ -295,9 +307,9 @@ def _fwd_call(src, x, y, h, w, w_pad, n_pad, sh, sw_max, out_dtype):
     )(src, x, y)
 
 
-def _run(img, mask, coords, layout):
+def _run(img, mask, coords, layout, coords_hw=None):
     h, w = img.shape[1], img.shape[2]
-    src, x, y, n, n_pad = _prep(img, mask, coords, layout)
+    src, x, y, n, n_pad = _prep(img, mask, coords, layout, coords_hw)
     # Outputs stream to HBM in the image's own dtype: bf16 in production
     # (halves the kernel's writes and the patch-permute copies behind it),
     # f32 when mixed precision is off — an f32 config must not round warped
@@ -305,12 +317,13 @@ def _run(img, mask, coords, layout):
     # through the discrete automask, breaking SPMD numeric-equivalence).
     out, ddx, ddy = _fwd_call(src, x, y, h, w, src.shape[-1], n_pad,
                               _SH[layout], _SW[layout], img.dtype)
-    if layout == "patch" and _patchable(h, w, coords.shape[1]):
+    th, tw = coords_hw or (h, w)
+    if layout == "patch" and _patchable(th, tw, coords.shape[1]):
         # back to canonical row-major order (residuals included, so the
         # backward dot needs no permutation)
-        out = _from_patches(out[:, :, :n], h, w)
-        ddx = _from_patches(ddx[:, :, :n], h, w)
-        ddy = _from_patches(ddy[:, :, :n], h, w)
+        out = _from_patches(out[:, :, :n], th, tw)
+        ddx = _from_patches(ddx[:, :, :n], th, tw)
+        ddy = _from_patches(ddy[:, :, :n], th, tw)
     else:
         out, ddx, ddy = out[:, :, :n], ddx[:, :, :n], ddy[:, :, :n]
     out = jnp.transpose(out, (0, 2, 1))
@@ -318,14 +331,14 @@ def _run(img, mask, coords, layout):
             ddx, ddy)
 
 
-def _make_op(layout):
+def _make_op(layout, coords_hw=None):
     @jax.custom_vjp
     def op(img, mask, coords):
-        img_w, mask_w, _, _ = _run(img, mask, coords, layout)
+        img_w, mask_w, _, _ = _run(img, mask, coords, layout, coords_hw)
         return img_w, mask_w
 
     def fwd(img, mask, coords):
-        img_w, mask_w, ddx, ddy = _run(img, mask, coords, layout)
+        img_w, mask_w, ddx, ddy = _run(img, mask, coords, layout, coords_hw)
         finite = jnp.all(jnp.isfinite(coords), axis=-1, keepdims=True)
         # img/mask ride along only for zeros_like (inputs stay live during
         # grad anyway — no extra memory)
@@ -346,10 +359,12 @@ def _make_op(layout):
 
 
 _OPS = {"strip": _make_op("strip"), "patch": _make_op("patch")}
+_WIN_OPS: dict = {}   # (layout, th, tw) -> op (windowed-coords variants)
 
 
 def warp_image_mask_mxu(img: jnp.ndarray, mask: jnp.ndarray,
-                        coords: jnp.ndarray, layout: str = "strip"):
+                        coords: jnp.ndarray, layout: str = "strip",
+                        coords_hw=None):
     """Jointly warp image (bilinear) + mask (nearest) on the MXU.
 
     Drop-in for ``ops/warp_quad.warp_image_mask_quad``:
@@ -360,5 +375,14 @@ def warp_image_mask_mxu(img: jnp.ndarray, mask: jnp.ndarray,
     layout: 'strip' = micro-tiles are 0.4-row runs (best for near-identity
     temporal warps); 'patch' = 16x16 target patches (best for cross-camera
     overlap warps with large coordinate spreads). Identical results.
+
+    coords_hw: target-pixel grid shape behind ``coords`` when it is NOT the
+    source image grid (windowed warps pass the window box shape; the patch
+    layout then applies to the box).
     """
-    return _OPS[layout](img, mask, coords)
+    if coords_hw is None:
+        return _OPS[layout](img, mask, coords)
+    key = (layout, int(coords_hw[0]), int(coords_hw[1]))
+    if key not in _WIN_OPS:
+        _WIN_OPS[key] = _make_op(layout, (key[1], key[2]))
+    return _WIN_OPS[key](img, mask, coords)

@@ -68,6 +68,12 @@ def _tap_data(coords: jnp.ndarray, h: int, w: int):
     coords = jnp.where(finite[..., None], coords, -4.0)
     x = (coords[..., 0] + 1.0) * 0.5 * (w - 1)
     y = (coords[..., 1] + 1.0) * 0.5 * (h - 1)
+    # huge-but-finite NDC coords (near-zero projection depth) overflow the
+    # transform to +-inf and x - floor(x) then NaNs the weights; any
+    # |pixel| beyond the image is an all-dead tap, so a finite clamp is
+    # semantics-preserving (mirrors ops/warp_mxu._prep)
+    x = jnp.clip(x, -1e6, 1e6)
+    y = jnp.clip(y, -1e6, 1e6)
     xb, ax0, ax1, dax0, dax1 = _axis_weights(x, w)
     yb, ay0, ay1, day0, day1 = _axis_weights(y, h)
     idx = yb * w + xb

@@ -26,6 +26,8 @@ from ..models import (
     MonoPoseNet,
     augment_extrinsics,
     backproject_features,
+    backproject_features_grouped,
+    grouped_backprojection_ok,
     pack_cam_feat,
     unpack_cam_feat,
 )
@@ -104,10 +106,11 @@ class VFDepthModel:
         if self.warp_op == "auto":
             self.warp_op = ("mxu" if jax.default_backend() == "tpu"
                             else "quad")
-        # the MXU warp makes the windowed-gather optimization moot (its
-        # y-banding adapts to the actual coords dynamically)
-        self.warp_window = (bool(cfg.get("warp_window", True))
-                            and self.warp_op != "mxu")
+        # Windows apply to the MXU warp too: its y-banding adapts to the
+        # coords dynamically (source-side), but the TARGET pixel count —
+        # micro-tiles processed, d/dx-d/dy streams, patch permutes — scales
+        # with the window/image area ratio.
+        self.warp_window = bool(cfg.get("warp_window", True))
         hw = cfg.get("warp_window_hw", None)  # [h, w] or [[h0,w0],[h1,w1]]
         if hw and not isinstance(hw[0], (list, tuple)):
             hw = (tuple(hw), tuple(hw))
@@ -143,6 +146,14 @@ class VFDepthModel:
             voxel_size=tuple(cfg.voxel_size),
             sampler_2d=sampler_2d,
         )
+        # group-reduced back-projection: the camera axis is summed into the
+        # two static overlap groups INSIDE the sampler kernel (the only way
+        # the per-camera features are ever consumed) — models/vfnet.py
+        # backproject_features_grouped
+        self._bp_groups = (
+            tuple(map(tuple, cfg.overlap_groups))
+            if grouped_backprojection_ok(cfg.overlap_groups, cfg.num_cams,
+                                         sampler_2d) else None)
         # Merge the pose and depth nets' back-projections into ONE sampler
         # kernel pass per step (their projected coordinates are identical —
         # same rig, same fusion level). `tpu.merge_backprojection: false`
@@ -467,9 +478,18 @@ class VFDepthModel:
         cp = pose_feats.shape[-1]
         merged = jnp.concatenate(
             [pose_feats, depth_feats.astype(pose_feats.dtype)], axis=-1)
-        feat, _, count = backproject_features(
-            merged, batch["mask"], batch[fusion_k], batch["extrinsics_inv"],
-            **self._bp_statics)
+        if self._bp_groups is not None:
+            # camera axis group-reduced in-kernel: feat is [b, 2, n, C+1]
+            feat, count = backproject_features_grouped(
+                merged, batch["mask"], batch[fusion_k],
+                batch["extrinsics_inv"], groups=self._bp_groups,
+                **self._bp_statics)
+            grouped = True
+        else:
+            feat, _, count = backproject_features(
+                merged, batch["mask"], batch[fusion_k],
+                batch["extrinsics_inv"], **self._bp_statics)
+            grouped = False
         # split per path; the appended rel-depth channel (last) is shared
         # geometry — the depth slice already ends with it, the pose slice
         # gets a copy
@@ -479,7 +499,8 @@ class VFDepthModel:
 
         (axisangle, translation), pstats = self._apply(
             self.pose_net, params["pose_net"], pstats, feat_pose, count,
-            train=train, n_ctx=n_ctx, method="pose_from_backprojection")
+            train=train, n_ctx=n_ctx, grouped=grouped,
+            method="pose_from_backprojection")
         aa = axisangle[:, 0, 0].reshape(n_ctx, bsz, 3)
         tr = translation[:, 0, 0].reshape(n_ctx, bsz, 3)
         mats = []
@@ -497,7 +518,7 @@ class VFDepthModel:
         out, dstats = self._apply(
             self.depth_net, params["depth_net"], dstats, feat_depth, count,
             skips, batch[fusion_ik], batch["extrinsics"],
-            extrinsics_aug=extrinsics_aug, train=train,
+            extrinsics_aug=extrinsics_aug, train=train, grouped=grouped,
             method="decode_from_backprojection")
         disps = {s: out[f"disp/{s}"] for s in self.scales}
         disps_aug = ({s: out[f"disp/{s}/aug"] for s in self.scales}
