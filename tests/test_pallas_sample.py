@@ -156,6 +156,55 @@ def test_pallas_backward_grid_channel_chunks():
                                    np.asarray(dref), atol=1e-4)
 
 
+def test_backproject_raw_matches_ndc_pipeline():
+    """Raw-coords mode (in-kernel perspective divide + sanitize + rel
+    epilogue) == the XLA coordinate pipeline feeding the ndc-mode kernel.
+    Covers behind-camera points (z < 0), near-zero depths (divide
+    overflow), and out-of-bounds projections."""
+    from vfdepth_tpu.ops.pallas_sample import (
+        sample_backproject_pallas, sample_backproject_raw_pallas)
+
+    rng = np.random.RandomState(17)
+    b, h, w, c, n = 2, 32, 80, 8, 1500
+    img = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    mask = jnp.asarray((rng.rand(b, h, w, 1) > 0.3).astype(np.float32))
+    # camera-plane points: u, v ~ pixel * z with a mix of depths
+    z = rng.uniform(-2.0, 10.0, (b, n)).astype(np.float32)
+    z[:, :20] = rng.uniform(-1e-7, 1e-7, (b, 20))     # near-zero depths
+    px = rng.uniform(-20, w + 20, (b, n)).astype(np.float32)
+    py = rng.uniform(-20, h + 20, (b, n)).astype(np.float32)
+    cam = np.stack([px * z, py * z, z], axis=-1)
+    cam3 = jnp.asarray(cam)
+    rel_scale = 1.0 / 24.0
+
+    # reference: the XLA pipeline from vfnet._project_voxel_coords
+    zp = cam[..., 2] + 1e-8
+    xy = cam[..., :2] / zp[..., None]
+    xy = np.nan_to_num(xy, nan=2.0 * w, posinf=2.0 * w, neginf=-2.0 * w)
+    xy = np.clip(xy, -2.0 * w, 2.0 * w)
+    ndc = xy / np.array([0.5 * (w - 1), 0.5 * (h - 1)]) - 1.0
+    ok = ((cam[..., 2] > 0) & (ndc[..., 0] >= -1) & (ndc[..., 0] <= 1)
+          & (ndc[..., 1] >= -1) & (ndc[..., 1] <= 1))
+    ndc = np.where(ok[..., None], ndc, -3.0).astype(np.float32)
+    rel = (cam[..., 2] * rel_scale).astype(np.float32)
+
+    f_ref, v_ref = sample_backproject_pallas(
+        img, mask, jnp.asarray(ndc), jnp.asarray(rel))
+    f_raw, v_raw = sample_backproject_raw_pallas(img, mask, cam3, rel_scale)
+    np.testing.assert_array_equal(np.asarray(v_raw), np.asarray(v_ref))
+    np.testing.assert_allclose(np.asarray(f_raw), np.asarray(f_ref),
+                               atol=2e-2, rtol=2e-2)
+
+    # gradients agree (both gate by the same validity)
+    gi_ref = jax.grad(lambda i: jnp.sum(sample_backproject_pallas(
+        i, mask, jnp.asarray(ndc), jnp.asarray(rel))[0] ** 2))(img)
+    gi_raw = jax.grad(lambda i: jnp.sum(sample_backproject_raw_pallas(
+        i, mask, cam3, rel_scale)[0] ** 2))(img)
+    scale = np.abs(np.asarray(gi_ref)).max() + 1e-12
+    np.testing.assert_allclose(np.asarray(gi_raw), np.asarray(gi_ref),
+                               atol=0.03 * scale, rtol=0.03)
+
+
 def test_bwd_kernel_ignores_nan_tail_rows():
     """Regression: the backward kernel's grid need not divide N, and the
     partial last block's out-of-bounds rows of g AND valid are undefined

@@ -218,13 +218,17 @@ def intensity_align(ref_img: jnp.ndarray, ref_mask: jnp.ndarray,
     overlap the warped image passes through unchanged.
     """
     mask = jax.lax.stop_gradient(
-        (ref_mask * jax.lax.stop_gradient(warp_mask)) > 0).astype(ref_img.dtype)
+        (ref_mask * jax.lax.stop_gradient(warp_mask)) > 0).astype(jnp.float32)
     ch = warp_img.shape[-1]
     denom_full = float(warp_img.shape[-3] * warp_img.shape[-2] * ch)
     # the overlap mask broadcasts over RGB, so its 3-channel sum is ch * sum
     msum = ch * jnp.sum(mask, axis=(-3, -2, -1), keepdims=True)
 
     def stats(img):
+        # f32 accumulation regardless of image dtype (bf16 under mixed
+        # precision): the moment identity cancels catastrophically below
+        # f32; the upcast fuses into the read, costing no extra HBM pass
+        img = img.astype(jnp.float32)
         # ONE pass per image: the three reductions (masked sum, full sum,
         # full square-sum) fuse into a single read of the stream; the
         # sequential mean-then-squared-deviation form re-streamed each
@@ -245,7 +249,10 @@ def intensity_align(ref_img: jnp.ndarray, ref_mask: jnp.ndarray,
     norm = (warp_img - w_mean) / (w_std + 1e-8) * s_std + s_mean
     norm = norm * warp_mask
 
-    return jnp.where(msum > 0, norm, warp_img)
+    # back to the image's own dtype (bf16 under mixed precision): the
+    # normalization arithmetic ran f32 via broadcasting; storing f32 would
+    # double the overlap stack's traffic again
+    return jnp.where(msum > 0, norm, warp_img).astype(warp_img.dtype)
 
 
 class RenderOutputs(NamedTuple):
@@ -334,13 +341,14 @@ def render_views(
                 w_img, w_mask = warp_image(src, nbr_mask, depn, invkn,
                                            nbr_k, pose, warp_op=warp_op,
                                            mxu_layout="patch")
-            w_mask = w_mask * nbr_valid_f
+            w_mask = w_mask * nbr_valid_f.astype(w_mask.dtype)
             if do_intensity_align:
                 refi = jnp.broadcast_to(colors[0][:, :, None], w_img.shape)
                 refm = jnp.broadcast_to(mask[:, :, None], w_mask.shape)
                 w_img = intensity_align(refi, refm, w_img, w_mask)
-            # sum over neighbors, zeroing invalid neighbor slots
-            return (jnp.sum(w_img * nbr_valid_f, axis=2),
+            # sum over neighbors, zeroing invalid neighbor slots (valid
+            # flags cast to the image dtype so a bf16 stack stays bf16)
+            return (jnp.sum(w_img * nbr_valid_f.astype(w_img.dtype), axis=2),
                     jnp.sum(w_mask, axis=2))
 
         imgs, masks = [], []

@@ -47,7 +47,13 @@ def ssim_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
 
 
 def photometric_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
-    """0.85 * SSIM + 0.15 * L1, averaged over channels -> [..., H, W, 1]."""
+    """0.85 * SSIM + 0.15 * L1, averaged over channels -> [..., H, W, 1].
+
+    Math runs in f32 regardless of input dtype: warped images stream as
+    bf16 under mixed precision, and SSIM's variance terms (E[x^2] - mu^2)
+    cancel catastrophically below f32."""
+    pred = pred.astype(jnp.float32)
+    target = target.astype(jnp.float32)
     l1 = jnp.mean(jnp.abs(target - pred), axis=-1, keepdims=True)
     ssim = jnp.mean(ssim_loss(pred, target), axis=-1, keepdims=True)
     return 0.85 * ssim + 0.15 * l1

@@ -92,6 +92,37 @@ def _project_voxel_coords(
     return pix, v_local, mask_lowres, in_front, in_bounds
 
 
+def _project_cam_points(
+    mask: jnp.ndarray,            # [b, cams, H, W, 1] self-occlusion
+    intrinsics: jnp.ndarray,      # [b, cams, 4, 4] at fusion_level+1 scale
+    extrinsics_inv: jnp.ndarray,  # [b, cams, 4, 4]
+    h_dim: int,
+    w_dim: int,
+    *,
+    voxel_str_p: Sequence[float],
+    voxel_unit_size: Sequence[float],
+    voxel_size: Sequence[int],
+):
+    """Raw camera-plane voxel points for the kernel-side coordinate fold.
+
+    ONE fused calibration einsum: (K[:3,:3] @ E^-1[:3,:]) is a per-camera
+    [3, 4] constant, so cam3 = proj34 @ vox replaces the two chained
+    [cams, n, 3] einsums of ``_project_voxel_coords`` — and the perspective
+    divide / sanitize / validity / rel-depth epilogue all run INSIDE the
+    Pallas sampler (ops/pallas_sample.py raw mode), so no [cams, n, 2-3]
+    coordinate stream ever exists in HBM. cam3[..., 2] is the camera-frame
+    depth (K row 3 = [0, 0, 1, 0]), which is also the rel-depth source.
+    Returns (cam3 [b, cams, n, 3] point-major, mask_lowres)."""
+    geo = jnp.float32
+    vox = voxel_points_homo(voxel_str_p, voxel_unit_size, voxel_size, geo)
+    proj34 = jnp.einsum(
+        "bcij,bcjk->bcik", intrinsics[..., :3, :3].astype(geo),
+        extrinsics_inv[..., :3, :].astype(geo))       # [b, cams, 3, 4]
+    cam3 = jnp.einsum("bcij,jn->bcni", proj34, vox)   # [b, cams, n, 3]
+    mask_lowres = resize_bilinear(mask, (h_dim, w_dim), align_corners=True)
+    return cam3, mask_lowres
+
+
 def backproject_features(
     feats_agg: jnp.ndarray,       # [b, cams, h, w, C]
     mask: jnp.ndarray,            # [b, cams, H, W, 1] self-occlusion
@@ -120,10 +151,6 @@ def backproject_features(
     h_dim, w_dim = feats_agg.shape[-3], feats_agg.shape[-2]
     dtype = feats_agg.dtype
     geo = jnp.float32
-    pix, v_local, mask_lowres, in_front, in_bounds = _project_voxel_coords(
-        mask, intrinsics, extrinsics_inv, h_dim, w_dim,
-        voxel_str_p=voxel_str_p, voxel_unit_size=voxel_unit_size,
-        voxel_size=voxel_size)
 
     # feature sampling: Pallas one-hot-matmul kernel on TPU (the XLA
     # gather/scatter pair costs ~180 ms fwd+bwd and minutes of compile;
@@ -133,25 +160,37 @@ def backproject_features(
     sampler = sampler_2d
     if sampler == "auto":
         sampler = "pallas" if jax.default_backend() == "tpu" else "gather"
+    if sampler != "pallas":
+        pix, v_local, mask_lowres, in_front, in_bounds = (
+            _project_voxel_coords(
+                mask, intrinsics, extrinsics_inv, h_dim, w_dim,
+                voxel_str_p=voxel_str_p, voxel_unit_size=voxel_unit_size,
+                voxel_size=voxel_size))
     if sampler == "pallas":
         # one kernel pass produces the masked per-point feature tensor:
         # bilinear feat + NEAREST occlusion mask + rel-depth appended +
         # validity gating, all in the kernel's VMEM epilogue (the
         # unfused form spent ~10 ms/step re-streaming [cams, 200k, C]
-        # tensors through XLA elementwise passes)
-        from ..ops.pallas_sample import sample_backproject_pallas
+        # tensors through XLA elementwise passes). Raw-coords mode: the
+        # kernel also runs the perspective divide / sanitize / rel-depth
+        # epilogue in VMEM, so the only XLA work left is ONE fused
+        # calibration einsum (see _project_cam_points).
+        from ..ops.pallas_sample import sample_backproject_raw_pallas
         b_, cams_ = feats_agg.shape[:2]
-        rel_depth_pts = (v_local[..., 2] / voxel_size[0]).astype(geo)
-        fv, vv = sample_backproject_pallas(
+        cam3, mask_lr = _project_cam_points(
+            mask, intrinsics, extrinsics_inv, h_dim, w_dim,
+            voxel_str_p=voxel_str_p, voxel_unit_size=voxel_unit_size,
+            voxel_size=voxel_size)
+        fv, vv = sample_backproject_raw_pallas(
             feats_agg.reshape((b_ * cams_,) + feats_agg.shape[2:]),
-            mask_lowres.reshape((b_ * cams_,) + mask_lowres.shape[2:]),
-            pix.reshape(b_ * cams_, -1, 2),
-            rel_depth_pts.reshape(b_ * cams_, -1),
+            mask_lr.reshape((b_ * cams_,) + mask_lr.shape[2:]),
+            cam3.reshape(b_ * cams_, -1, 3),
+            1.0 / voxel_size[0],
         )
         feat = fv.reshape(
-            pix.shape[:3] + (feats_agg.shape[-1] + 1,)).astype(dtype)
+            cam3.shape[:3] + (feats_agg.shape[-1] + 1,)).astype(dtype)
         valid = jax.lax.stop_gradient(vv).reshape(
-            pix.shape[:3]).astype(dtype)
+            cam3.shape[:3]).astype(dtype)
         count = jnp.sum(valid, axis=1)        # [b, n]
         return feat, valid, count
     elif sampler == "matmul":
@@ -211,7 +250,7 @@ def backproject_features_grouped(
     caller-side group-sum / broadcast passes (~20 ms/step) — never exists:
     fuse_depth and the pose camera-mean only ever consume these sums
     (reference ``network/volumetric_fusionnet.py:154-162, 197-230``)."""
-    from ..ops.pallas_sample import sample_backproject_grouped_pallas
+    from ..ops.pallas_sample import sample_backproject_grouped_raw_pallas
 
     h_dim, w_dim = feats_agg.shape[-3], feats_agg.shape[-2]
     dtype = feats_agg.dtype
@@ -226,18 +265,17 @@ def backproject_features_grouped(
     intrinsics = intrinsics[:, order]
     extrinsics_inv = extrinsics_inv[:, order]
 
-    pix, v_local, mask_lowres, _, _ = _project_voxel_coords(
+    cam3, mask_lowres = _project_cam_points(
         mask, intrinsics, extrinsics_inv, h_dim, w_dim,
         voxel_str_p=voxel_str_p, voxel_unit_size=voxel_unit_size,
         voxel_size=voxel_size)
 
     b_, cams_ = feats_agg.shape[:2]
-    rel_depth_pts = (v_local[..., 2] / voxel_size[0]).astype(jnp.float32)
-    fv, cnt = sample_backproject_grouped_pallas(
+    fv, cnt = sample_backproject_grouped_raw_pallas(
         feats_agg.reshape((b_ * cams_,) + feats_agg.shape[2:]),
         mask_lowres.reshape((b_ * cams_,) + mask_lowres.shape[2:]),
-        pix.reshape(b_ * cams_, -1, 2),
-        rel_depth_pts.reshape(b_ * cams_, -1),
+        cam3.reshape(b_ * cams_, -1, 3),
+        1.0 / voxel_size[0],
         b_, gs)
     feat_g = fv.astype(dtype)                       # [b, 2, n, C+1]
     count = jnp.sum(jax.lax.stop_gradient(cnt), axis=1).astype(dtype)
@@ -568,13 +606,20 @@ class VFNet(nn.Module):
         voxel_feat = total / (count[..., None] + 1e-7)
         if frame_groups > 1:
             # split the channel groups back out; the appended rel-depth
-            # channel (last) is shared geometry, each group gets a copy
+            # channel (last) is shared geometry, each group gets a copy.
+            # Expressed as reshape + one [b, n, G, gc+1] -> [G, b, n, gc+1]
+            # transpose: the per-group slice+concat form made XLA
+            # materialize a channel-major [G, C, n] copy via a while loop
+            # (~5 ms at DDAD shapes).
+            b_, n_ = voxel_feat.shape[:2]
             gc = (voxel_feat.shape[-1] - 1) // frame_groups
             rel = voxel_feat[..., -1:]
-            voxel_feat = jnp.concatenate(
-                [jnp.concatenate(
-                    [voxel_feat[..., g * gc:(g + 1) * gc], rel], axis=-1)
-                 for g in range(frame_groups)], axis=0)  # [G*b, n, C+1]
+            main = voxel_feat[..., :-1].reshape(b_, n_, frame_groups, gc)
+            relb = jnp.broadcast_to(rel[..., None, :],
+                                    (b_, n_, frame_groups, 1))
+            vf = jnp.concatenate([main, relb], axis=-1)
+            voxel_feat = jnp.moveaxis(vf, 2, 0).reshape(
+                frame_groups * b_, n_, gc + 1)  # [G*b, n, C+1] group-major
         return self.bev_from_voxel(voxel_feat, train)
 
 

@@ -49,19 +49,42 @@ def _band_rows(h: int) -> int:
     return 16
 
 
-def _pix_taps(coords: jnp.ndarray, h: int, w: int, sb: int):
+def _pix_taps(coords: jnp.ndarray, h: int, w: int, sb: int,
+              raw: bool = False):
     """Pixel-space tap data for one sub-tile.
 
     Returns (ohx [tile, w] bf16 2-tap x weights, iy0 [tile, 1] int32 floor
     row, ty [tile, 1] bf16 y frac, y_lo, n_seg) — iy0 is sentinel-free;
     band membership uses the aligned lattice (each tap row belongs to
     exactly one band). Non-finite coords sanitize to -2 normalized (all
-    taps dead, zero active bands when a whole sub-tile is out of FOV)."""
-    finite = jnp.isfinite(coords[:, 0]) & jnp.isfinite(coords[:, 1])
-    cx = jnp.where(finite, coords[:, 0], -2.0)
-    cy = jnp.where(finite, coords[:, 1], -2.0)
-    x = (cx + 1.0) * 0.5 * (w - 1)
-    y = (cy + 1.0) * 0.5 * (h - 1)
+    taps dead, zero active bands when a whole sub-tile is out of FOV).
+
+    raw: coords are CAMERA-PLANE points (u, v, z) and the perspective
+    divide, NaN/overflow handling, in-front and in-bounds sanitize all run
+    here on VMEM vectors — replacing ~6 ms/step of XLA elementwise passes
+    over the [cams, N, 2-3] coordinate streams at DDAD shapes (the same
+    semantics as vfnet._project_voxel_coords: +1e-8 divide guard,
+    nan -> +2w, clip to +-2w, dead unless z > 0 and the ALIGN-CORNERS
+    pixel lies in [0, w-1] x [0, h-1])."""
+    if raw:
+        zp = coords[:, 2] + 1e-8
+        x = coords[:, 0] / zp
+        y = coords[:, 1] / zp
+        big = 2.0 * w
+        x = jnp.where(jnp.isnan(x), big, x)
+        y = jnp.where(jnp.isnan(y), big, y)
+        x = jnp.clip(x, -big, big)
+        y = jnp.clip(y, -big, big)
+        live = ((coords[:, 2] > 0) & (x >= 0) & (x <= w - 1.0)
+                & (y >= 0) & (y <= h - 1.0))
+        x = jnp.where(live, x, -4.0)
+        y = jnp.where(live, y, -4.0)
+    else:
+        finite = jnp.isfinite(coords[:, 0]) & jnp.isfinite(coords[:, 1])
+        cx = jnp.where(finite, coords[:, 0], -2.0)
+        cy = jnp.where(finite, coords[:, 1], -2.0)
+        x = (cx + 1.0) * 0.5 * (w - 1)
+        y = (cy + 1.0) * 0.5 * (h - 1)
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     fx32 = (x - x0)[:, None]                 # keep f32 for nearest picks:
@@ -123,8 +146,13 @@ def _wy_band(iy0, ty, o_kw, tile, w, h, sb, transpose=False):
 
 
 def _fwd_kernel(h: int, w: int, sb: int, with_mask: bool, fold_valid: bool,
-                n_valid: int, grouped: bool, img_ref, coords_ref, *rest):
+                n_valid: int, grouped: bool, raw: bool, rel_scale: float,
+                img_ref, coords_ref, *rest):
     """img (bf16) [h*w, C]; coords [BLOCK_N, 2(+1)]; out [BLOCK_N, C(+1|+2)].
+
+    raw: coords are camera-plane (u, v, z) — the perspective divide +
+    sanitize run in-kernel (see _pix_taps) and the rel-depth epilogue
+    column is z * rel_scale instead of a precomputed third column.
 
     with_mask: an extra input mask2d (bf16) [h_pad, w] is NEAREST-sampled
     through the same taps (rounded per-axis one-hots) into the LAST output
@@ -168,7 +196,8 @@ def _fwd_kernel(h: int, w: int, sb: int, with_mask: bool, fold_valid: bool,
     def body(k, _):
         sl = pl.ds(k * _TILE_N, _TILE_N)
         coords = coords_ref[sl, :]
-        ohx, ohx_n, iy0, ty, fy32, lat, n_seg = _pix_taps(coords, h, w, sb)
+        ohx, ohx_n, iy0, ty, fy32, lat, n_seg = _pix_taps(coords, h, w, sb,
+                                                          raw=raw)
         # zero the rows past the true point count (the grid need not divide
         # n; the partial last block reads undefined coords there)
         row = (jax.lax.broadcasted_iota(jnp.int32, (_TILE_N, 1), 0)
@@ -211,7 +240,7 @@ def _fwd_kernel(h: int, w: int, sb: int, with_mask: bool, fold_valid: bool,
             jnp.zeros((_TILE_N, c + (1 if with_mask else 0)), jnp.float32))
         if fold_valid:
             valid = (acc[:, c:c + 1] > 0.5).astype(jnp.float32)
-            rel = coords[:, 2:3]
+            rel = (coords[:, 2:3] * rel_scale) if raw else coords[:, 2:3]
             acc = jnp.concatenate(
                 [acc[:, :c] * valid, rel * valid, valid], axis=1)
         if grouped:
@@ -233,7 +262,7 @@ def _fwd_kernel(h: int, w: int, sb: int, with_mask: bool, fold_valid: bool,
 
 
 def _bwd_kernel(h: int, w: int, sb: int, n_valid: int, with_valid: bool,
-                g_ref, coords_ref, *rest):
+                raw: bool, g_ref, coords_ref, *rest):
     """g [BLOCK_N, Cb]; out (bf16) [h*w, Cb]; acc (f32 scratch) [h*w, Cb].
 
     Grid is (b, c_chunks, n_tiles): wide-C calls are chunked by the GRID
@@ -265,7 +294,7 @@ def _bwd_kernel(h: int, w: int, sb: int, n_valid: int, with_valid: bool,
     def body(k, _):
         sl = pl.ds(k * _TILE_N, _TILE_N)
         coords = coords_ref[sl, :]
-        ohx, _, iy0, ty, _, lat, n_seg = _pix_taps(coords, h, w, sb)
+        ohx, _, iy0, ty, _, lat, n_seg = _pix_taps(coords, h, w, sb, raw=raw)
         row = (jax.lax.broadcasted_iota(jnp.int32, (_TILE_N, 1), 0)
                + blk * _BLOCK_N + k * _TILE_N)
         ok = (row < n_valid)
@@ -303,7 +332,8 @@ def _pad_rows(h: int) -> int:
 
 
 def _fwd_call(img_flat: jnp.ndarray, coords: jnp.ndarray, h: int, w: int,
-              mask2d=None, fold_valid: bool = False):
+              mask2d=None, fold_valid: bool = False, raw: bool = False,
+              rel_scale: float = 1.0):
     """img_flat [B, h*w, C]; coords [B, N, 2] (3 cols when fold_valid: the
     third is the per-point rel-depth passthrough); optional mask2d [B, h, w]
     -> [B, N, C (+1 nearest mask | +2 rel*valid, valid)]."""
@@ -338,7 +368,7 @@ def _fwd_call(img_flat: jnp.ndarray, coords: jnp.ndarray, h: int, w: int,
     co = c + ((2 if fold_valid else 1) if with_mask else 0)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, h, w, _band_rows(h), with_mask,
-                          fold_valid, n, False),
+                          fold_valid, n, False, raw, rel_scale),
         grid=(b, n_tiles),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((None, _BLOCK_N, co), lambda i, j: (i, j, 0),
@@ -349,7 +379,8 @@ def _fwd_call(img_flat: jnp.ndarray, coords: jnp.ndarray, h: int, w: int,
 
 
 def _fwd_call_grouped(img_flat: jnp.ndarray, coords3: jnp.ndarray,
-                      mask2d: jnp.ndarray, h: int, w: int, b: int, gs: int):
+                      mask2d: jnp.ndarray, h: int, w: int, b: int, gs: int,
+                      raw: bool = False, rel_scale: float = 1.0):
     """Group-reduced fused back-projection forward.
 
     img_flat [b*2*gs, h*w, C] with cameras PRE-ORDERED group-major
@@ -376,7 +407,7 @@ def _fwd_call_grouped(img_flat: jnp.ndarray, coords3: jnp.ndarray,
     co = c + 2
     return pl.pallas_call(
         functools.partial(_fwd_kernel, h, w, _band_rows(h), True, True, n,
-                          True),
+                          True, raw, rel_scale),
         # camera innermost: consecutive steps revisit the (i, g, j) out
         # block, which is what makes the in-kernel accumulation legal
         grid=(b, 2, n_tiles, gs),
@@ -414,7 +445,8 @@ def _fwd_call_grouped(img_flat: jnp.ndarray, coords3: jnp.ndarray,
 
 def _bwd_call(g: jnp.ndarray, coords: jnp.ndarray, h: int, w: int,
               c: int | None = None, valid: jnp.ndarray | None = None,
-              group_size: int = 0, n_valid: int | None = None):
+              group_size: int = 0, n_valid: int | None = None,
+              raw: bool = False):
     """g [B, N, C_in] -> dimg_flat [B, h*w, c] (c defaults to C_in; pass
     c < C_in to ignore trailing cotangent columns — e.g. the fused
     back-projection's rel-depth/valid passthrough channels).
@@ -462,8 +494,8 @@ def _bwd_call(g: jnp.ndarray, coords: jnp.ndarray, h: int, w: int,
                               memory_space=pltpu.VMEM)
     in_specs = [
         g_spec,
-        pl.BlockSpec((None, _BLOCK_N, 2), lambda i, k, j: (i, j, 0),
-                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((None, _BLOCK_N, coords.shape[-1]),
+                     lambda i, k, j: (i, j, 0), memory_space=pltpu.VMEM),
     ]
     args = [g, coords]
     if valid is not None:
@@ -474,7 +506,7 @@ def _bwd_call(g: jnp.ndarray, coords: jnp.ndarray, h: int, w: int,
     out = pl.pallas_call(
         functools.partial(_bwd_kernel, h, w, _band_rows(h),
                           n if n_valid is None else n_valid,
-                          valid is not None),
+                          valid is not None, raw),
         grid=(b, n_cc, n_tiles),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((None, hp, cb), lambda i, k, j: (i, 0, k),
@@ -561,12 +593,13 @@ def sample_bilinear_with_nearest_mask_pallas(
     return _pallas_sample_masked(img, mask, coords)
 
 
-@jax.custom_vjp
-def _pallas_backproject(img, mask, coords3):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _pallas_backproject(img, mask, coords3, raw=False, rel_scale=1.0):
     h, w = img.shape[-3], img.shape[-2]
     img_flat = img.reshape(img.shape[0], h * w, img.shape[-1])
     fm = _fwd_call(img_flat, coords3, h, w, mask2d=mask[..., 0],
-                   fold_valid=True).astype(img.dtype)
+                   fold_valid=True, raw=raw,
+                   rel_scale=rel_scale).astype(img.dtype)
     # split INSIDE the custom_vjp: a caller-side `fm[..., :-1]` slice makes
     # XLA pad the cotangent back to C+2 with a full [cams, N, C+2] pass
     # (~7 ms/step at DDAD shapes); as separate outputs the backward consumes
@@ -574,13 +607,13 @@ def _pallas_backproject(img, mask, coords3):
     return fm[..., :-1], fm[..., -1]
 
 
-def _pallas_backproject_fwd(img, mask, coords3):
-    feat, valid = _pallas_backproject(img, mask, coords3)
+def _pallas_backproject_fwd(img, mask, coords3, raw, rel_scale):
+    feat, valid = _pallas_backproject(img, mask, coords3, raw, rel_scale)
     # valid (exact bf16 0/1) gates the backward: dL/dimg = W^T (g * valid)
     return (feat, valid), (coords3, valid, img.shape, mask.shape)
 
 
-def _pallas_backproject_bwd(res, g):
+def _pallas_backproject_bwd(raw, rel_scale, res, g):
     coords3, valid, img_shape, mask_shape = res
     g_feat, _ = g        # valid is stop-gradient at every caller
     h, w = img_shape[-3], img_shape[-2]
@@ -588,8 +621,10 @@ def _pallas_backproject_bwd(res, g):
     # only the feature channels carry image gradient; the rel channel is an
     # input passthrough (no parameters behind it). The valid gate and the
     # channel truncation both happen inside the kernel — no [cams, N, C]
-    # caller-side pass.
-    dimg_flat = _bwd_call(g_feat, coords3[..., :2], h, w, c=c, valid=valid)
+    # caller-side pass. Raw mode keeps all 3 coord columns (the in-kernel
+    # perspective divide needs z).
+    dimg_flat = _bwd_call(g_feat, coords3 if raw else coords3[..., :2],
+                          h, w, c=c, valid=valid, raw=raw)
     return (dimg_flat.reshape(img_shape).astype(g_feat.dtype),
             jnp.zeros(mask_shape, g_feat.dtype), jnp.zeros_like(coords3))
 
@@ -613,39 +648,43 @@ def sample_backproject_pallas(img: jnp.ndarray, mask: jnp.ndarray,
     """
     coords3 = jnp.concatenate(
         [coords, rel[..., None].astype(coords.dtype)], axis=-1)
-    return _pallas_backproject(img, mask, coords3)
+    return _pallas_backproject(img, mask, coords3, False, 1.0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _pallas_backproject_grouped(img, mask, coords3, b, gs):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _pallas_backproject_grouped(img, mask, coords3, b, gs, raw=False,
+                                rel_scale=1.0):
     h, w = img.shape[-3], img.shape[-2]
     img_flat = img.reshape(img.shape[0], h * w, img.shape[-1])
-    fm, _ = _fwd_call_grouped(img_flat, coords3, mask[..., 0], h, w, b, gs)
+    fm, _ = _fwd_call_grouped(img_flat, coords3, mask[..., 0], h, w, b, gs,
+                              raw=raw, rel_scale=rel_scale)
     fm = fm.astype(img.dtype)
     # split INSIDE the custom_vjp (see _pallas_backproject): the backward
     # consumes the feature cotangent directly, no pad-back pass
     return fm[..., :-1], fm[..., -1]
 
 
-def _pallas_backproject_grouped_fwd(img, mask, coords3, b, gs):
+def _pallas_backproject_grouped_fwd(img, mask, coords3, b, gs, raw,
+                                    rel_scale):
     h, w = img.shape[-3], img.shape[-2]
     img_flat = img.reshape(img.shape[0], h * w, img.shape[-1])
     fm, valid_pc = _fwd_call_grouped(img_flat, coords3, mask[..., 0], h, w,
-                                     b, gs)
+                                     b, gs, raw=raw, rel_scale=rel_scale)
     fm = fm.astype(img.dtype)
     return ((fm[..., :-1], fm[..., -1]),
             (coords3, valid_pc, mask.shape, img.shape))
 
 
-def _pallas_backproject_grouped_bwd(b, gs, res, g):
+def _pallas_backproject_grouped_bwd(b, gs, raw, rel_scale, res, g):
     coords3, valid_pc, mask_shape, img_shape = res
     g_feat, _ = g        # the count channel is stop-gradient at every caller
     h, w = img_shape[-3], img_shape[-2]
     c = img_shape[-1]
     # each camera reads its GROUP's cotangent block, gated by its own
     # validity (the tiny per-camera [B, N] output of the forward kernel)
-    dimg_flat = _bwd_call(g_feat, coords3[..., :2], h, w, c=c,
-                          valid=valid_pc[..., 0], group_size=gs)
+    dimg_flat = _bwd_call(g_feat, coords3 if raw else coords3[..., :2],
+                          h, w, c=c, valid=valid_pc[..., 0], group_size=gs,
+                          raw=raw)
     return (dimg_flat.reshape(img_shape).astype(g_feat.dtype),
             jnp.zeros(mask_shape, g_feat.dtype), jnp.zeros_like(coords3))
 
@@ -677,4 +716,27 @@ def sample_backproject_grouped_pallas(
     numerics of the ungrouped path."""
     coords3 = jnp.concatenate(
         [coords, rel[..., None].astype(coords.dtype)], axis=-1)
-    return _pallas_backproject_grouped(img, mask, coords3, batch, group_size)
+    return _pallas_backproject_grouped(img, mask, coords3, batch,
+                                       group_size, False, 1.0)
+
+
+def sample_backproject_raw_pallas(img: jnp.ndarray, mask: jnp.ndarray,
+                                  cam_pts: jnp.ndarray, rel_scale: float):
+    """``sample_backproject_pallas`` taking CAMERA-PLANE points directly.
+
+    cam_pts: [B, N, 3] = K[:3, :] @ (E^-1 @ voxel), i.e. (u, v, z) BEFORE
+    the perspective divide. The divide, nan/overflow handling, in-front +
+    in-bounds sanitize, and the rel-depth feature (z * rel_scale) all run
+    inside the kernel on VMEM vectors — the XLA coordinate epilogue
+    (~6 ms/step of [cams, N, 2-3] passes at DDAD shapes) disappears.
+    Same outputs/semantics as the normalized-coords form."""
+    return _pallas_backproject(img, mask, cam_pts, True, float(rel_scale))
+
+
+def sample_backproject_grouped_raw_pallas(
+        img: jnp.ndarray, mask: jnp.ndarray, cam_pts: jnp.ndarray,
+        rel_scale: float, batch: int, group_size: int):
+    """``sample_backproject_grouped_pallas`` taking camera-plane points
+    (see ``sample_backproject_raw_pallas``)."""
+    return _pallas_backproject_grouped(img, mask, cam_pts, batch,
+                                       group_size, True, float(rel_scale))

@@ -586,7 +586,14 @@ class VFDepthModel:
 
         windows = self._windows(batch, spatio_pose, st_pose)
 
-        colors = {f: batch[f"color/{f}/0"] for f in self.frame_ids}
+        # Under mixed precision the warp sources stream as bf16: the MXU
+        # warp casts sources to bf16 IN-kernel anyway (the one-hot matmuls
+        # are bf16), so pre-casting loses nothing the kernel kept, while
+        # its outputs, the patch-layout permutes behind them, and the first
+        # read of every warped image halve their HBM traffic. The loss
+        # TARGETS stay f32 (photometric math upcasts at entry).
+        colors = {f: batch[f"color/{f}/0"].astype(self.compute_dtype)
+                  for f in self.frame_ids}
         rendered: Dict[int, RenderOutputs] = {}
         for s in self.scales:
             rendered[s] = render_views(
