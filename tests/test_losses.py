@@ -123,13 +123,25 @@ def test_cold_start_overlap_ramp():
     assert abs(logs_mid["overlap_ramp"] - 0.5) < 1e-6
     assert logs_full["overlap_ramp"] == 1.0
 
-    # step 0 loss == the same model with overlap coefficients hard-zeroed
+    # at step 0 the auto-mask is fully blended OUT (amask_blend=0): the
+    # effective reprojection mask is just ref_mask (all-ones here), so
+    # every pixel carries gradient off the zero-pose plateau
+    assert abs(logs0["amask_cover"] - 1.0) < 1e-6
+
+    # end-of-warmup loss (auto-mask fully back in, ramp still 0) == the
+    # same model with overlap coefficients hard-zeroed, plus the
+    # full-strength cold-start priors (prior_scale = 1 at ramp 0)
     zcfg = micro_config()
     zcfg.set("spatio_coeff", 0.0)
     zcfg.set("spatio_tempo_coeff", 0.0)
     zero = VFDepthModel(zcfg)
     l_zero, _ = loss_at(zero, 0)
-    np.testing.assert_allclose(l0, l_zero, rtol=1e-6)
+    l_w, logs_w = loss_at(model, 10)
+    prior_w = (float(cfg.get("cold_start_pose_coeff"))
+               * logs_w["cold_start/pose_prior"]
+               + float(cfg.get("cold_start_disp_coeff"))
+               * logs_w["cold_start/disp_anchor"])
+    np.testing.assert_allclose(l_w - prior_w, l_zero, rtol=1e-5)
 
     # fully ramped == the unscheduled reference loss
     ref = VFDepthModel(micro_config())

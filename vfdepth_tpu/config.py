@@ -183,4 +183,12 @@ def get_config(path: str, mode: str = "train", weight_path: Optional[str] = None
     tr = data["training"]
     tr.setdefault("cold_start_warmup_steps", 0)
     tr.setdefault("cold_start_ramp_steps", 0)
+    # Cold-start priors (losses/composite.py LossConfig docstring): active
+    # only while the staged schedule ramps, scaled by (1 - ramp). The hinge
+    # floor is in meters of per-camera translation per frame pair; the disp
+    # anchor pulls the mean sigmoid toward 0.5 (mid-range depth).
+    tr.setdefault("cold_start_pose_coeff", 1.0)
+    tr.setdefault("cold_start_pose_floor", 0.1)
+    tr.setdefault("cold_start_pose_ceil", 1.0)
+    tr.setdefault("cold_start_disp_coeff", 0.1)
     return Config(data)

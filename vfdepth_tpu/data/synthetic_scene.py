@@ -90,8 +90,9 @@ class SyntheticSceneDataset:
             rz = rays_world[..., 2]
             t = np.where(rz < -1e-6, -origin[2] / np.minimum(rz, -1e-6), np.inf)
             hit = np.isfinite(t) & (t > 0)
-            wx = origin[0] + t * rays_world[..., 0]
-            wy = origin[1] + t * rays_world[..., 1]
+            t_hit = np.where(hit, t, 0.0)  # keep inf out of the multiplies
+            wx = origin[0] + t_hit * rays_world[..., 0]
+            wy = origin[1] + t_hit * rays_world[..., 1]
             tex = _texture(np.where(hit, wx, 0.0), np.where(hit, wy, 0.0))
             sky = np.array([0.35, 0.55, 0.85], np.float32)
             imgs[c] = np.where(hit[..., None], tex, sky)

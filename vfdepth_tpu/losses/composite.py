@@ -59,6 +59,23 @@ class LossConfig(NamedTuple):
     # coefficients in linearly over `ramp_steps`.
     warmup_steps: int = 0
     ramp_steps: int = 0
+    # Cold-start priors, active only while the staged schedule is ramping
+    # (scaled by 1 - ramp, i.e. full during warmup, zero once the overlap
+    # coefficients are fully in). They break the two degenerate minima that
+    # kill from-scratch training (docs/PERF.md "Learning validation"):
+    #   * pose_prior: hinge relu(floor - mean|t|) on the per-camera
+    #     translation magnitude — the zero-pose basin (identity warp has
+    #     zero photometric loss for ANY depth) is a global minimum the
+    #     0.01-scaled random pose head starts inside of;
+    #   * disp_anchor: (mean sigmoid-disp - 0.5)^2 — with tiny pose, larger
+    #     depth always shrinks the flow toward identity, a systematic
+    #     downward pressure that saturates the sigmoid (dead gradients at
+    #     max depth) within ~100 steps.
+    # Both vanish with the schedule, leaving the reference objective exact.
+    pose_prior_coeff: float = 1.0
+    pose_prior_floor: float = 0.1
+    pose_prior_ceil: float = 1.0
+    disp_anchor_coeff: float = 0.1
 
 
 def reprojection_loss(
@@ -67,11 +84,21 @@ def reprojection_loss(
     context: jnp.ndarray,         # [b, cams, n_ctx, H, W, 3] raw context colors
     warped: jnp.ndarray,          # [b, cams, n_ctx, H, W, 3] temporal warps
     ref_mask: jnp.ndarray,        # [b, cams, H, W, 1]
+    amask_blend: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Monodepth2 min-reprojection with identity auto-masking
     (single_cam_loss.py:18-55). Returns (per-cam loss [cams],
     masked loss map, auto mask) — the maps feed TB panels and the
-    spatio-temporal term."""
+    spatio-temporal term.
+
+    ``amask_blend`` (cold-start schedule only; None = reference exact)
+    fades the auto-mask in: the effective mask is
+    ``ref_mask * ((1 - blend) + blend * auto)``. At blend 0 every in-image
+    pixel carries gradient — the identity comparison is a tie at the
+    zero-pose init (warped == context), so the masked objective has a
+    zero-gradient plateau exactly where a random init starts; fading the
+    mask in restores monodepth2's from-scratch trainability while
+    converging to the reference objective at blend 1."""
     tgt = target[:, :, None]
     reproj = jax.vmap(photometric_loss, in_axes=(2, 2), out_axes=2)(warped, jnp.broadcast_to(tgt, warped.shape))
     reproj_min = jnp.min(reproj, axis=2)  # [b, cams, H, W, 1]
@@ -80,7 +107,10 @@ def reprojection_loss(
     noise = _EPSILON * jax.random.normal(rng, ident.shape, dtype=ident.dtype)
     ident_min = jnp.min(ident + noise, axis=2)
 
-    amask = auto_mask(reproj_min, ident_min) * ref_mask
+    auto = auto_mask(reproj_min, ident_min)
+    if amask_blend is not None:
+        auto = (1.0 - amask_blend) + amask_blend * auto
+    amask = auto * ref_mask
     loss_map = amask * reproj_min
     percam = _percam_masked_mean(reproj_min, amask)
     return percam, loss_map, amask
@@ -196,10 +226,20 @@ def total_loss(
     context = jnp.stack([batch[f"color/{f}/0"] for f in ctx_ids], axis=2)
 
     ramp = None
+    amask_blend = None
     if (cfg.warmup_steps or cfg.ramp_steps) and step is not None:
         ramp = jnp.clip(
             (step.astype(jnp.float32) - float(cfg.warmup_steps))
             / float(max(cfg.ramp_steps, 1)), 0.0, 1.0).astype(target.dtype)
+        # The auto-mask fades in on a FASTER schedule (fully in by the end
+        # of warmup), so the temporal objective is reference-exact before
+        # the overlap terms start ramping. At a zero-pose init the identity
+        # comparison is a tie (warped == context), so the auto-masked
+        # objective starts on a zero-gradient plateau; blending the mask in
+        # restores from-scratch trainability (see reprojection_loss).
+        amask_blend = jnp.clip(
+            step.astype(jnp.float32) / float(max(cfg.warmup_steps, 1)),
+            0.0, 1.0).astype(target.dtype)
     sp_coeff = cfg.spatio_coeff if ramp is None else cfg.spatio_coeff * ramp
     st_coeff = (cfg.spatio_tempo_coeff if ramp is None
                 else cfg.spatio_tempo_coeff * ramp)
@@ -211,7 +251,8 @@ def total_loss(
         r = rendered[scale]
         rng, k1 = jax.random.split(rng)
         reproj, reproj_map, amask = reprojection_loss(
-            k1, target, context, r.temporal_img, ref_mask)
+            k1, target, context, r.temporal_img, ref_mask,
+            amask_blend=amask_blend)
         color_s = batch[f"color/0/{scale}"]
         smooth = smoothness_loss(color_s, disps[scale])
 
@@ -269,5 +310,24 @@ def total_loss(
 
     cam_loss = cam_loss / float(len(cfg.scales))
     total = cam_loss.mean()  # mean over cameras (vfdepth.py:302)
+
+    if ramp is not None:
+        # cold-start priors (see LossConfig): full strength during the
+        # temporal-only warmup, fading with the overlap ramp
+        prior_scale = 1.0 - ramp
+        t_norm = jnp.linalg.norm(
+            cam_t_cam[..., :3, 3].astype(jnp.float32), axis=-1).mean()
+        # two-sided hinge: the zero-pose basin is below the floor; the
+        # other degenerate basin (|t| runs to the +-4 clamp, every warp
+        # leaves the image, all gradients die) is above the ceiling
+        pose_prior = (jax.nn.relu(cfg.pose_prior_floor - t_norm)
+                      + jax.nn.relu(t_norm - cfg.pose_prior_ceil))
+        disp_anchor = (disps[0].astype(jnp.float32).mean() - 0.5) ** 2
+        prior = prior_scale * (cfg.pose_prior_coeff * pose_prior
+                               + cfg.disp_anchor_coeff * disp_anchor)
+        total = total + prior.astype(total.dtype)
+        logs["cold_start/pose_prior"] = pose_prior
+        logs["cold_start/disp_anchor"] = disp_anchor
+
     logs["total_loss"] = total
     return total, logs

@@ -53,6 +53,10 @@ def loss_config_from(cfg: Config) -> LossConfig:
         pose_model=cfg.pose_model,
         warmup_steps=int(cfg.get("cold_start_warmup_steps", 0)),
         ramp_steps=int(cfg.get("cold_start_ramp_steps", 0)),
+        pose_prior_coeff=float(cfg.get("cold_start_pose_coeff", 1.0)),
+        pose_prior_floor=float(cfg.get("cold_start_pose_floor", 0.1)),
+        pose_prior_ceil=float(cfg.get("cold_start_pose_ceil", 1.0)),
+        disp_anchor_coeff=float(cfg.get("cold_start_disp_coeff", 0.1)),
     )
 
 
