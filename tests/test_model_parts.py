@@ -230,3 +230,36 @@ def test_predict_pose_override_disables_merge():
     params, stats = model.init(rng, batch)
     model.forward(params, stats, batch, rng, train=False)
     assert calls["n"] == 1
+
+
+@pytest.mark.parametrize("stride,h,w", [(1, 10, 12), (1, 9, 11), (2, 10, 12),
+                                        (2, 9, 11), (2, 16, 16)])
+def test_fast_reflect_conv_matches_padded(stride, h, w):
+    """The zero-pad + border-correction conv (ConvBlock.fast_pad) must equal
+    the materialized reflect-pad conv — values and input gradients."""
+    from vfdepth_tpu.models.blocks import ConvBlock
+
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.fold_in(rng, 1), (2, h, w, 5))
+    fast = ConvBlock(7, 3, stride=stride, nonlin=None, fast_pad=True)
+    slow = ConvBlock(7, 3, stride=stride, nonlin=None, fast_pad=False)
+    variables = slow.init(rng, x)
+
+    y_fast = fast.apply(variables, x)
+    y_slow = slow.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(y_fast), np.asarray(y_slow),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(mod, v, x):
+        return jnp.sum(jnp.sin(mod.apply(v, x)))
+
+    gf_x = jax.grad(lambda x_: loss(fast, variables, x_))(x)
+    gs_x = jax.grad(lambda x_: loss(slow, variables, x_))(x)
+    np.testing.assert_allclose(np.asarray(gf_x), np.asarray(gs_x),
+                               rtol=1e-4, atol=1e-5)
+    gf_k = jax.grad(lambda v_: loss(fast, v_, x))(variables)
+    gs_k = jax.grad(lambda v_: loss(slow, v_, x))(variables)
+    for a, b in zip(jax.tree_util.tree_leaves(gf_k),
+                    jax.tree_util.tree_leaves(gs_k)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
