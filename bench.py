@@ -3,7 +3,10 @@
 Runs the full compiled training step (fusion depth + pose nets, voxel
 fusion, view rendering, losses, backward, Adam) on DDAD-shaped inputs
 (6 cams, 384x640 — reference configs/ddad/ddad_surround_fusion.yaml) and
-prints ONE JSON line.
+prints ONE JSON line. Rig calibration follows the publicly documented
+nuScenes 6-camera geometry (BENCH_RIG=even restores the rounds-1/2
+uniform stress rig, whose full-image overlaps disengage the warp
+windows — see docs/PERF.md).
 
 Baseline note: the reference publishes no throughput numbers. The
 ``vs_baseline`` denominator (2.0 samples/s per A100) is derived in
@@ -78,8 +81,14 @@ def run_bench(batch_size, height, width, n_steps, use_bf16):
     })
 
     model = VFDepthModel(cfg)
+    # Rig geometry: "nuscenes" = the publicly documented nuScenes 6-camera
+    # mounting/intrinsics (data/fake.py) — realistic thin cross-camera
+    # overlap strips, so the warp windows engage as they do on real data.
+    # "even" (rounds 1-2) spaces cameras at 60 deg with ~85 deg FOV: its
+    # overlaps span the full image, an unrealistically hard stress rig.
+    rig = os.environ.get("BENCH_RIG", "nuscenes")
     ds = FakeDataset(num_samples=batch_size, num_cams=6, height=height,
-                     width=width, fusion_level=2)
+                     width=width, fusion_level=2, rig=rig)
     batch = {k: jnp.asarray(v) for k, v in
              ds.batch(list(range(batch_size))).items()}
 

@@ -15,14 +15,40 @@ import numpy as np
 from .contract import build_intrinsics_pyramid, color_key
 
 
-def make_rig_extrinsics(num_cams: int, radius: float = 1.5) -> np.ndarray:
+# Surround-rig camera yaws (deg, + = left) in the reference camera-list
+# order (front, front-left, front-right, back-left, back-right, back).
+# "even": cameras at uniform 60-degree increments (large cross-camera
+# overlap — a stress rig). "nuscenes": the publicly documented nuScenes
+# mounting (devkit calibrated_sensor: FL/FR at ~+-55 deg, BL/BR at
+# ~+-110 deg), whose adjacent-camera overlaps are thin edge strips —
+# the realistic production geometry for the surround benchmarks.
+_RIG_YAWS_DEG = {
+    "even": [0.0, 60.0, -60.0, 120.0, -120.0, 180.0],
+    "nuscenes": [0.0, 55.0, -55.0, 110.0, -110.0, 180.0],
+}
+# fx as a fraction of image width, per camera. nuScenes: 1266 px at
+# W=1600 for the five 70-degree cameras, 809 px for the 110-degree
+# back camera (public devkit calibration, scale-invariant as fx/W).
+_RIG_FX_FRAC = {
+    "even": [0.55] * 6,
+    "nuscenes": [0.791, 0.791, 0.791, 0.791, 0.791, 0.506],
+}
+
+
+def make_rig_extrinsics(num_cams: int, radius: float = 1.5,
+                        rig: str = "even") -> np.ndarray:
     """[cams, 4, 4] camera-to-world. Camera looks outward; world x-fwd/y-left/z-up.
 
     Camera frame: +z optical axis (forward), +x right, +y down.
     """
+    if rig != "even" and num_cams > len(_RIG_YAWS_DEG[rig]):
+        raise ValueError(f"rig '{rig}' defines 6 cameras, got {num_cams}")
     exts = []
     for c in range(num_cams):
-        yaw = 2.0 * np.pi * c / max(num_cams, 1)
+        if rig == "even":
+            yaw = 2.0 * np.pi * c / max(num_cams, 1)
+        else:
+            yaw = np.deg2rad(_RIG_YAWS_DEG[rig][c])
         # world-frame camera axes
         fwd = np.array([np.cos(yaw), np.sin(yaw), 0.0])     # optical axis
         right = np.array([np.sin(yaw), -np.cos(yaw), 0.0])  # camera +x
@@ -35,6 +61,13 @@ def make_rig_extrinsics(num_cams: int, radius: float = 1.5) -> np.ndarray:
     return np.stack(exts).astype(np.float32)
 
 
+def rig_fx_fractions(num_cams: int, rig: str = "even") -> np.ndarray:
+    """Per-camera fx as a fraction of image width for the named rig."""
+    if rig == "even":
+        return np.full((num_cams,), 0.55, np.float32)
+    return np.asarray(_RIG_FX_FRAC[rig][:num_cams], np.float32)
+
+
 class FakeDataset:
     """Deterministic random dataset with the full batch-dict contract."""
 
@@ -42,7 +75,8 @@ class FakeDataset:
                  height: int = 384, width: int = 640,
                  frame_ids: Sequence[int] = (0, -1, 1),
                  fusion_level: int = 2, with_depth: bool = False,
-                 seed: int = 0, max_depth: float = 200.0):
+                 seed: int = 0, max_depth: float = 200.0,
+                 rig: str = "even"):
         self.num_samples = num_samples
         self.num_cams = num_cams
         self.height = height
@@ -53,13 +87,14 @@ class FakeDataset:
         self.seed = seed
         self.max_depth = max_depth
 
-        k = np.eye(4, dtype=np.float32)
-        k[0, 0] = 0.55 * width
-        k[1, 1] = 0.55 * width
-        k[0, 2] = width / 2.0
-        k[1, 2] = height / 2.0
-        self.k_full = np.tile(k, (num_cams, 1, 1))
-        self.extrinsics = make_rig_extrinsics(num_cams)
+        fx = rig_fx_fractions(num_cams, rig) * width
+        self.k_full = np.tile(np.eye(4, dtype=np.float32),
+                              (num_cams, 1, 1))
+        self.k_full[:, 0, 0] = fx
+        self.k_full[:, 1, 1] = fx
+        self.k_full[:, 0, 2] = width / 2.0
+        self.k_full[:, 1, 2] = height / 2.0
+        self.extrinsics = make_rig_extrinsics(num_cams, rig=rig)
         self.extrinsics_inv = np.linalg.inv(self.extrinsics).astype(np.float32)
 
     def __len__(self) -> int:
