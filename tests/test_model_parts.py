@@ -165,9 +165,11 @@ def test_sampler_config_paths_agree():
     # the matmul path samples in bf16: a one-ulp perturbation can flip a
     # discrete automask pixel, moving the total by ~1e-4 (observed to vary
     # with XLA's CPU thread partitioning, e.g. the suite's 8-virtual-device
-    # flag) — this guards the config WIRING (a broken path is off by O(1))
+    # flag, and with the init stream — measured up to 1.2e-3 after the BEV
+    # fold reparameterization) — this guards the config WIRING (a broken
+    # path is off by O(1))
     for k, v in losses.items():
-        np.testing.assert_allclose(v, ref, rtol=1e-3, err_msg=str(k))
+        np.testing.assert_allclose(v, ref, rtol=3e-3, err_msg=str(k))
     # grad norms carry ~1-2% discrete automask-flip noise between any two
     # compilations of this model at the near-symmetric init (see
     # test_dp_grad_equivalence); per-op VJP numerics are pinned tightly by
@@ -263,3 +265,77 @@ def test_fast_reflect_conv_matches_padded(stride, h, w):
                     jax.tree_util.tree_leaves(gs_k)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_bev_conv3d_matches_reshape_form():
+    """The transpose-free pose BEV fold (BEVReduce3D, z contracted as a
+    grouped-conv window with a shared tiled kernel) must compute the SAME
+    linear map as the reference 2D form (z reshaped into channels then a
+    3x3 stride-2 conv) under the exact weight relabeling
+    kernel3d[z,ky,kx,ci,o] == kernel2d[ky,kx,z*C+ci,o]."""
+    from vfdepth_tpu.models.vfnet import BEVReduce3D
+    from vfdepth_tpu.models.blocks import ConvBlock
+
+    b, vz, vy, vx, gc1, g, out = 1, 4, 8, 8, 5, 2, 7
+    rng = jax.random.PRNGKey(0)
+    # [b, n, G, gc+1] group-split voxel features
+    vf = jax.random.normal(jax.random.fold_in(rng, 1),
+                           (b, vz * vy * vx, g, gc1))
+
+    m3d = BEVReduce3D(out_ch=out, in_per_group=gc1, vz=vz, stride=2)
+    x3 = vf.reshape(b, vz, vy, vx, g * gc1)
+    v3 = m3d.init(rng, x3, groups=g)
+    y3 = m3d.apply(v3, x3, groups=g)            # [b, hy, hx, G, out]
+    y3 = jnp.moveaxis(y3, 3, 0).reshape((g * b, ) + y3.shape[1:3] + (out,))
+
+    # reference 2D form: [G*b, n, gc+1] -> [G*b, vy, vx, vz*(gc+1)]
+    m2d = ConvBlock(out, 3, stride=2, fast_pad=False)
+    k3 = v3["params"]["kernel"]                  # [vz,3,3,gc1,out]
+    k2 = jnp.transpose(k3, (1, 2, 0, 3, 4)).reshape(3, 3, vz * gc1, out)
+    v2 = {"params": {"Conv_0": {"kernel": k2,
+                                "bias": v3["params"]["bias"]}}}
+    vf_gm = jnp.moveaxis(vf, 2, 0).reshape(g * b, vz * vy * vx, gc1)
+    bev = vf_gm.reshape(g * b, vz, vy, vx, gc1)
+    bev = jnp.moveaxis(bev, 1, 3).reshape(g * b, vy, vx, vz * gc1)
+    y2 = m2d.apply(v2, bev)
+
+    np.testing.assert_allclose(np.asarray(y3), np.asarray(y2),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_bev_fold_pallas_matches_reshape_form():
+    """The Pallas BEV fold path (ops/fold_zc.py relayout + split-channel
+    conv, BEVReduceFold) must compute the SAME linear map as the reference
+    one-conv 2D form under the exact channel-partition weight mapping:
+    k_main[.,., z*gc+ci, o] == k2[.,., z*(gc+1)+ci, o] (ci < gc) and
+    k_rel[.,., z, o] == k2[.,., z*(gc+1)+gc, o]."""
+    from vfdepth_tpu.models.vfnet import BEVReduceFold
+    from vfdepth_tpu.models.blocks import ConvBlock
+
+    b, vz, vy, vx, gc, g, out = 1, 4, 8, 8, 5, 2, 7
+    n = vz * vy * vx
+    rng = jax.random.PRNGKey(0)
+    vf = jax.random.normal(jax.random.fold_in(rng, 1), (b, n, g, gc + 1))
+    # the rel channel is SHARED across groups in the model
+    vf = vf.at[..., 1, -1].set(vf[..., 0, -1])
+
+    mf = BEVReduceFold(out_ch=out, gc=gc, vz=vz, stride=2)
+    main = vf[..., :-1].reshape(b, vz, vy, vx, g * gc)
+    rel = vf[..., 0, -1].reshape(b, vz, vy, vx)
+    vfold = mf.init(rng, main, rel, groups=g)
+    y_new = mf.apply(vfold, main, rel, groups=g)
+
+    # map (k_main, k_rel) into the single reference conv kernel
+    km = vfold["params"]["kernel"].reshape(3, 3, vz, gc, out)
+    kr = vfold["params"]["kernel_rel"][:, :, :, None, :]
+    k2 = jnp.concatenate([km, kr], axis=3).reshape(3, 3, vz * (gc + 1), out)
+    m2d = ConvBlock(out, 3, stride=2, fast_pad=False)
+    v2 = {"params": {"Conv_0": {"kernel": k2,
+                                "bias": vfold["params"]["bias"]}}}
+    vf_gm = jnp.moveaxis(vf, 2, 0).reshape(g * b, n, gc + 1)
+    bev = vf_gm.reshape(g * b, vz, vy, vx, gc + 1)
+    bev = jnp.moveaxis(bev, 1, 3).reshape(g * b, vy, vx, vz * (gc + 1))
+    y_old = m2d.apply(v2, bev)
+
+    np.testing.assert_allclose(np.asarray(y_new), np.asarray(y_old),
+                               rtol=1e-4, atol=1e-5)

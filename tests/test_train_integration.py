@@ -112,11 +112,13 @@ def test_dp_grad_equivalence():
         # reduction-order noise ~1e-4 of the global scale; (2) the automask
         # min(reproj, identity+noise) comparison is DISCRETE — measured: 2
         # of 12288 automask pixels flip between the two compilations,
-        # each adding/removing one pixel's gradient (~1e-4 absolute on
-        # ~1e-2-norm encoder leaves at the near-symmetric init). A real
-        # sharding bug (missing/doubled psum) shows as diff ~ O(1) x the
-        # leaf's own norm.
-        assert diff < 2e-2 * np.linalg.norm(a) + 2e-3 * global_scale, (
+        # each adding/removing one pixel's gradient (~1-2e-4 absolute on
+        # ~1e-2-norm encoder leaves at the near-symmetric init; measured up
+        # to 2.3e-4 = 4.4e-3 x global scale after the BEV-fold
+        # reparameterization re-rolled the init stream). A real sharding
+        # bug (missing/doubled psum) shows as diff ~ O(1) x the leaf's own
+        # norm — 15x above this bound even on the smallest leaves.
+        assert diff < 2e-2 * np.linalg.norm(a) + 6e-3 * global_scale, (
             f"grad divergence {diff} on leaf {a.shape}")
 
 

@@ -34,7 +34,108 @@ from ..geometry.projection import voxel_points_homo, frustum_world_points
 from ..geometry.se3 import axis_angle_to_matrix
 from ..ops.grid_sample import grid_sample_2d, grid_sample_3d_nocoordgrad
 from ..ops.sample3d_packed import grid_sample_3d_packed
+from ..ops.fold_zc import fold_zc, fold_zc_supported
 from ..ops.resize import resize_bilinear
+
+
+class BEVReduce3D(nn.Module):
+    """Pose-path ``reduce_dim_0`` as a z-window 3D conv over the raw
+    ``[b, z, y, x, C]`` voxel volume (reference 2D form:
+    ``network/volumetric_fusionnet.py:54-56,338-343`` reshapes z into
+    channels first).
+
+    The math is identical — the z-into-channels fold is a fixed linear
+    relabeling the learned kernel absorbs (kernel
+    ``[vz, 3, 3, C, out] == reshape of [3, 3, vz*C, out]``, same fan-in,
+    same init distribution) — but expressing z as a fully-contracted conv
+    window means the input never needs the ``[b,z,y,x,C] -> [b,y,x,z*C]``
+    transpose, and frame groups ride a ``feature_group_count`` grouped conv
+    (kernel tiled along out-channels, so weights stay SHARED across groups
+    exactly like the reference's two separate passes through one conv)
+    instead of a ``[b,n,G,C] -> [G,b,n,C]`` transpose. Those two 102.8M-
+    element transposes lowered as chunked while-loops + update-slices
+    (~13 ms/step measured, docs/PERF.md round-3 profile).
+    """
+    out_ch: int
+    in_per_group: int
+    vz: int
+    stride: int = 2
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, groups: int = 1,
+                 train: bool = True) -> jnp.ndarray:
+        """[b, vz, vy, vx, groups*in_per_group] -> [b, hy, hx, groups, out]
+        (group-major output channels, one shared kernel)."""
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.vz, 3, 3, self.in_per_group, self.out_ch))
+        bias = self.param("bias", nn.initializers.zeros, (self.out_ch,))
+        dt = self.dtype or x.dtype
+        xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)),
+                     mode="reflect")
+        wt = k.astype(dt)
+        if groups > 1:
+            wt = jnp.tile(wt, (1, 1, 1, 1, groups))
+        y = jax.lax.conv_general_dilated(
+            xp.astype(dt), wt, (1, self.stride, self.stride), "VALID",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            feature_group_count=groups)        # [b, 1, hy, hx, G*out]
+        y = y[:, 0] + jnp.tile(bias.astype(dt), (groups,))
+        y = nn.leaky_relu(y, negative_slope=0.1)
+        return y.reshape(y.shape[:-1] + (groups, self.out_ch))
+
+
+class BEVReduceFold(nn.Module):
+    """Pose-path ``reduce_dim_0``: Pallas-relayout fold + split-channel conv.
+
+    Same linear map as the reference 2D form (z reshaped into channels then
+    a 3x3 stride-2 conv, ``network/volumetric_fusionnet.py:54-56,338-343``),
+    with the two 103M-element transposes (frame-group -> batch, z -> channels)
+    done by ``ops/fold_zc.py`` at HBM bandwidth instead of XLA's while-loop
+    lowering, and the odd shared rel-depth channel handled as a separately-
+    weighted partial conv so the fold stays lane-aligned (channel
+    partitioning of a conv is exact). ``kernel`` covers the vz*gc folded
+    feature channels ((z, c) z-major order — a learned relabeling);
+    ``kernel_rel`` the vz rel-depth channels; one bias + LeakyReLU.
+    """
+    out_ch: int
+    gc: int                      # feature channels per frame group (no rel)
+    vz: int
+    stride: int = 2
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, main: jnp.ndarray, rel: jnp.ndarray,
+                 groups: int = 1, train: bool = True) -> jnp.ndarray:
+        """main [b, vz, vy, vx, G*gc] ((G, gc) channel chunks);
+        rel [b, vz, vy, vx] -> [G*b, hy, hx, out_ch]."""
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (3, 3, self.vz * self.gc, self.out_ch))
+        # rel weights: init with the JOINT conv's fan-in (3*3*(vz*gc+vz)),
+        # not this slice's tiny fan — matches the one-conv reference init
+        fan = 3 * 3 * (self.vz * self.gc + self.vz)
+        k_rel = self.param(
+            "kernel_rel",
+            nn.initializers.variance_scaling(
+                (3 * 3 * self.vz) / fan, "fan_in", "truncated_normal"),
+            (3, 3, self.vz, self.out_ch))
+        bias = self.param("bias", nn.initializers.zeros, (self.out_ch,))
+        dt = self.dtype or main.dtype
+        s = (self.stride, self.stride)
+
+        mf = fold_zc(main.astype(dt), groups)    # [G*b, vy, vx, vz*gc]
+        rf = jnp.moveaxis(rel, 1, 3)             # [b, vy, vx, vz] (tiny)
+        rf = jnp.broadcast_to(rf[None], (groups,) + rf.shape)
+        rf = rf.reshape((groups * rel.shape[0],) + rf.shape[2:])
+
+        def rconv(x, w):
+            x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+            return jax.lax.conv_general_dilated(
+                x.astype(dt), w.astype(dt), s, "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        y = rconv(mf, k) + rconv(rf, k_rel) + bias.astype(dt)
+        return nn.leaky_relu(y, negative_slope=0.1)
 
 
 def _project_voxel_coords(
@@ -314,6 +415,12 @@ class VFNet(nn.Module):
     #   3D voxel->frustum: 'packed' (row-packed oct gather/scatter) | 'gather'
     sampler_2d: str = "auto"
     sampler_3d: str = "packed"
+    # pose mode BEV fold (tpu.pose_bev_fold): 'pallas' = ops/fold_zc.py
+    # relayout kernel + split-channel conv (BEVReduceFold, the TPU default);
+    # 'conv3d' = z-window grouped 3D conv (BEVReduce3D — measured -4% net:
+    # XLA's 5D grouped-conv layout copies outweigh the saved transposes);
+    # 'transpose' = the plain XLA moveaxis/reshape form.
+    bev_fold: str = "transpose"
 
     def setup(self):
         # submodules must be declared here (helper methods below use them)
@@ -324,9 +431,21 @@ class VFNet(nn.Module):
             self.conv_overlap = [
                 PointwiseBlock(ch, dtype=self.dtype, name=f"conv_overlap_{j}")
                 for j, ch in enumerate(self.voxel_pre_dim)]
-        self.reduce_dim_0 = ConvBlock(
-            256, 3, stride=1 if self.model == "depth" else 2, dtype=self.dtype,
-            name="reduce_dim_0")
+        mode = self.bev_fold_mode
+        if mode == "conv3d":
+            vz = self.vol_dims[0]
+            self.reduce_dim_0 = BEVReduce3D(
+                out_ch=256, in_per_group=self.feat_in_dim + 1, vz=vz,
+                stride=2, dtype=self.dtype, name="reduce_dim_0")
+        elif mode == "pallas":
+            vz = self.vol_dims[0]
+            self.reduce_dim_0 = BEVReduceFold(
+                out_ch=256, gc=self.feat_in_dim, vz=vz,
+                stride=2, dtype=self.dtype, name="reduce_dim_0")
+        else:
+            self.reduce_dim_0 = ConvBlock(
+                256, 3, stride=1 if self.model == "depth" else 2,
+                dtype=self.dtype, name="reduce_dim_0")
         self.reduce_dim_1 = ConvBlock(
             self.feat_out_dim, 3, stride=1 if self.model == "depth" else 2,
             dtype=self.dtype, name="reduce_dim_1")
@@ -344,6 +463,16 @@ class VFNet(nn.Module):
         """(z, y, x) counts."""
         vx, vy, vz = self.voxel_size
         return vz, vy, vx
+
+    @property
+    def bev_fold_mode(self) -> str:
+        """Effective pose-path BEV fold (setup and call sites must agree):
+        'pallas' needs a lane-aligned per-group feature width."""
+        if self.model != "pose":
+            return "transpose"
+        if self.bev_fold == "pallas" and not fold_zc_supported(self.feat_in_dim):
+            return "transpose"
+        return self.bev_fold
 
     def backproject_into_voxel(
         self,
@@ -604,6 +733,40 @@ class VFNet(nn.Module):
         sum is their sum (the groups partition the rig)."""
         total = feat[:, 0] + feat[:, 1] if grouped else jnp.sum(feat, axis=1)
         voxel_feat = total / (count[..., None] + 1e-7)
+        b_, n_ = voxel_feat.shape[:2]
+        g = frame_groups
+        gc = (voxel_feat.shape[-1] - 1) // g
+        vz, vy, vx = self.vol_dims
+        mode = self.bev_fold_mode
+        if mode == "pallas":
+            # Bandwidth fold (BEVReduceFold docstring): the feature
+            # channels [b, n, G*gc] relabel to [b, vz, vy, vx, G*gc] for
+            # free (voxel order is z-major) and the Pallas kernel does the
+            # group->batch / z->channel permutation; the shared rel-depth
+            # channel rides the separately-weighted partial conv.
+            main = voxel_feat[..., :-1].reshape(b_, vz, vy, vx, g * gc)
+            rel = voxel_feat[..., -1].reshape(b_, vz, vy, vx)
+            y = self.reduce_dim_0(main, rel, groups=g, train=train)
+            return self.reduce_dim_1(y, train)
+        if mode == "conv3d":
+            # Transpose-free fold (BEVReduce3D docstring): split channel
+            # groups in place [b, n, G, gc+1] (the shared rel-depth channel
+            # broadcasts into each group), reshape n -> (z, y, x) — a pure
+            # relabeling, the voxel order is z-major — and contract z as
+            # the conv window. Only the tiny [b, hy, hx, G, 256] output is
+            # reordered to the group-major batch layout reduce_dim_1 uses.
+            if g > 1:
+                rel = voxel_feat[..., -1:]
+                main = voxel_feat[..., :-1].reshape(b_, n_, g, gc)
+                relb = jnp.broadcast_to(rel[..., None, :], (b_, n_, g, 1))
+                vf = jnp.concatenate([main, relb], axis=-1)
+            else:
+                vf = voxel_feat[:, :, None, :]
+            x = vf.reshape(b_, vz, vy, vx, g * (gc + 1))
+            y = self.reduce_dim_0(x, groups=g, train=train)
+            y = jnp.moveaxis(y, 3, 0)  # [G, b, hy, hx, 256] (tiny)
+            y = y.reshape((g * b_,) + y.shape[2:])
+            return self.reduce_dim_1(y, train)
         if frame_groups > 1:
             # split the channel groups back out; the appended rel-depth
             # channel (last) is shared geometry, each group gets a copy.
