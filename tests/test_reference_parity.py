@@ -248,3 +248,221 @@ def test_fusion_depth_decoder_parity():
     got = np.asarray(dec.apply({"params": params}, [feat_j])["disp/0"])
 
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Rendering + loss end-to-end parity
+# ---------------------------------------------------------------------------
+def _torch_to_depth(disp, k_cam, height, width, min_depth, max_depth,
+                    focal_length_scale):
+    """Transcription of reference VFDepthAlgo.to_depth (models/vfdepth.py:277-288)."""
+    import torch.nn.functional as F
+
+    min_disp, max_disp = 1.0 / max_depth, 1.0 / min_depth
+    disp = F.interpolate(disp, [height, width], mode="bilinear",
+                         align_corners=False)
+    depth = 1.0 / (min_disp + (max_disp - min_disp) * disp)
+    return depth * k_cam[:, 0:1, 0:1].unsqueeze(2) / focal_length_scale
+
+
+def _full_chain_fixture(seed=7):
+    """Shared inputs for the rendering/loss chain (torch NCHW layout)."""
+    r = _rng(seed)
+    k, ext = surround_rig(CAMS, H, W)
+    k, ext = k[None], ext[None]
+    ext_inv = np.linalg.inv(ext).astype(np.float32)
+    colors = {f: r.rand(1, CAMS, 3, H, W).astype(np.float32)
+              for f in (0, -1, 1)}
+    mask = (r.rand(1, CAMS, 1, H, W) > 0.08).astype(np.float32)
+    disp = (0.05 + 0.4 * r.rand(1, CAMS, 1, H, W)).astype(np.float32)
+    aa = (r.randn(2, 1, 3) * 0.02).astype(np.float32)
+    t = (r.randn(2, 1, 3) * 0.3).astype(np.float32)
+    return k, ext, ext_inv, colors, mask, disp, aa, t
+
+
+def _run_reference_chain(ref, fx):
+    """to_depth + pose distribution + ViewRendering + MultiCamLoss on the
+    reference code. Returns (outputs-per-cam snapshot, loss mean dict)."""
+    k, ext, ext_inv, colors, mask, disp, aa, t = fx
+    cfg = ref_cfg()
+    tr = cfg["training"]
+
+    inputs = {"mask": torch.from_numpy(mask),
+              ("K", 0): torch.from_numpy(k),
+              ("inv_K", 0): torch.from_numpy(np.linalg.inv(k).astype(np.float32)),
+              "extrinsics": torch.from_numpy(ext),
+              "extrinsics_inv": torch.from_numpy(ext_inv)}
+    for f in (0, -1, 1):
+        inputs[("color", f, 0)] = torch.from_numpy(colors[f])
+
+    # canonical pose -> per-camera (reference Pose)
+    ref_pose = ref.pose.Pose(cfg)
+    canon = {-1: ref.geometry_util.vec_to_matrix(
+                 torch.from_numpy(aa[:1]), torch.from_numpy(t[:1]), invert=True),
+             1: ref.geometry_util.vec_to_matrix(
+                 torch.from_numpy(aa[1:]), torch.from_numpy(t[1:]), invert=False)}
+    dist = ref_pose.distribute_pose(
+        {("cam_T_cam", 0, f): canon[f] for f in (-1, 1)},
+        inputs["extrinsics"], inputs["extrinsics_inv"])
+
+    outputs = {}
+    for cam in range(CAMS):
+        k_cam = inputs[("K", 0)][:, cam]
+        d = torch.from_numpy(disp[:, cam])
+        outputs[("cam", cam)] = {
+            ("disp", 0): d,
+            ("depth", 0): _torch_to_depth(
+                d, k_cam, tr["height"], tr["width"], tr["min_depth"],
+                tr["max_depth"], tr["focal_length_scale"]),
+            ("cam_T_cam", 0, -1): dist[("cam", cam)][("cam_T_cam", 0, -1)],
+            ("cam_T_cam", 0, 1): dist[("cam", cam)][("cam_T_cam", 0, 1)],
+        }
+
+    vr = ref.view_rendering.ViewRendering(cfg, "cpu")
+    with torch.no_grad():
+        for cam in range(CAMS):
+            rel = ref_pose.compute_relative_cam_poses(inputs, outputs, cam)
+            vr(inputs, outputs, cam, rel)
+
+    # snapshot rendered tensors BEFORE the loss (compute_spatio_loss mutates
+    # ('overlap_mask', 0, s) in place, multi_cam_loss.py:27)
+    snap = {}
+    for cam in range(CAMS):
+        tv = outputs[("cam", cam)]
+        snap[cam] = {key: tv[key].clone().numpy() for key in tv
+                     if isinstance(key, tuple) and key[0] in
+                     ("color", "color_mask", "overlap", "overlap_mask")}
+
+    loss_fn = ref.multi_cam_loss.MultiCamLoss(cfg, "cpu")
+    losses = 0.0
+    acc = {}
+    with torch.no_grad():
+        for cam in range(CAMS):
+            cam_loss, loss_dict = loss_fn(inputs, outputs, cam)
+            losses = losses + cam_loss
+            for kk, v in loss_dict.items():
+                acc.setdefault(kk, []).append(float(v))
+    mean = {kk: sum(v) / len(v) for kk, v in acc.items()}
+    mean["total_loss"] = float(losses) / CAMS
+    # reproj maps for panel parity
+    for cam in range(CAMS):
+        tv = outputs[("cam", cam)]
+        snap[cam][("reproj_loss", 0)] = tv[("reproj_loss", 0)].numpy()
+        snap[cam][("reproj_mask", 0)] = tv[("reproj_mask", 0)].numpy()
+    return snap, mean
+
+
+def _run_repo_chain(fx, monkeypatch):
+    """Same chain through this repo's pipeline pieces (model.to_depth,
+    distribute_pose/relative_cam_poses, render_views, total_loss)."""
+    import vfdepth_tpu.losses.composite as composite
+    from vfdepth_tpu.geometry.se3 import vec_to_matrix
+    from vfdepth_tpu.geometry.pose import distribute_pose, relative_cam_poses
+    from vfdepth_tpu.geometry.view_rendering import render_views
+    from vfdepth_tpu.losses import LossConfig, total_loss
+    from vfdepth_tpu.presets import tiny_config
+    from vfdepth_tpu.training.model import VFDepthModel
+
+    monkeypatch.setattr(composite, "_EPSILON", 0.0)
+
+    k, ext, ext_inv, colors_t, mask_t, disp_t, aa, t = fx
+    model = VFDepthModel(tiny_config())
+    assert (model.height, model.width) == (H, W)
+
+    def nhwc(x):
+        return jnp.asarray(np.moveaxis(x, 2, -1))
+
+    colors = {f: nhwc(colors_t[f]) for f in (0, -1, 1)}
+    mask = nhwc(mask_t)
+    disp = nhwc(disp_t)
+    k_j, ext_j, ext_inv_j = map(jnp.asarray, (k, ext, ext_inv))
+    inv_k_j = jnp.asarray(np.linalg.inv(k).astype(np.float32))
+
+    mats = []
+    for i, (f, inv) in enumerate(((-1, True), (1, False))):
+        cm = vec_to_matrix(jnp.asarray(aa[i:i + 1, 0]),
+                           jnp.asarray(t[i:i + 1, 0]), invert=inv)
+        mats.append(distribute_pose(cm, ext_j, ext_inv_j))
+    cam_t_cam = jnp.stack(mats, axis=2)
+
+    depth = model.to_depth(disp, k_j)
+    spatio_pose, st_pose = relative_cam_poses(ext_j, ext_inv_j, cam_t_cam,
+                                              model.rel_cam)
+    rendered = render_views(
+        colors, mask, k_j, inv_k_j, depth, cam_t_cam, spatio_pose, st_pose,
+        model.rel_cam, (0, -1, 1), do_intensity_align=True,
+        spatio=True, spatio_temporal=True, windows=None, warp_op="quad")
+
+    batch = {"color/0/0": colors[0], "color/-1/0": colors[-1],
+             "color/1/0": colors[1], "mask": mask,
+             "extrinsics": ext_j, "extrinsics_inv": ext_inv_j}
+    lc = LossConfig(frame_ids=(0, -1, 1), scales=(0,),
+                    disparity_smoothness=0.001, spatio_coeff=0.03,
+                    spatio_tempo_coeff=0.1, pose_model="fusion")
+    loss, logs = total_loss(jax.random.PRNGKey(0), lc, batch, {0: disp},
+                            {0: depth}, cam_t_cam, {0: rendered})
+    return rendered, depth, loss, logs
+
+
+def test_view_rendering_parity(monkeypatch):
+    """Warped temporal/spatio/spatio-tempo images + masks + intensity
+    alignment match the reference ViewRendering pixelwise."""
+    ref = load_reference()
+    fx = _full_chain_fixture()
+    snap, _ = _run_reference_chain(ref, fx)
+    rendered, depth, _, _ = _run_repo_chain(fx, monkeypatch)
+
+    def cmp(mine, want_nchw, what, atol=2e-4):
+        want = np.moveaxis(want_nchw, 1, -1)
+        np.testing.assert_allclose(np.asarray(mine), want, rtol=1e-3,
+                                   atol=atol, err_msg=what)
+
+    for cam in range(CAMS):
+        for fi, f in enumerate((-1, 1)):
+            cmp(rendered.temporal_img[:, cam, fi],
+                snap[cam][("color", f, 0)], f"temporal img cam{cam} f{f}")
+            cmp(rendered.temporal_mask[:, cam, fi],
+                snap[cam][("color_mask", f, 0)], f"temporal mask cam{cam} f{f}")
+        for oi, f in enumerate((0, -1, 1)):
+            cmp(rendered.overlap_img[:, cam, oi],
+                snap[cam][("overlap", f, 0)], f"overlap img cam{cam} f{f}")
+            cmp(rendered.overlap_mask[:, cam, oi],
+                snap[cam][("overlap_mask", f, 0)], f"overlap mask cam{cam} f{f}")
+
+
+def test_multicam_loss_end_to_end_parity(monkeypatch):
+    """Per-key losses and the aggregate total match the reference MultiCamLoss
+    (identity tie-break noise zeroed on both sides)."""
+    ref = load_reference()
+    monkeypatch.setattr(ref.single_cam_loss, "_EPSILON", 0.0)
+    fx = _full_chain_fixture()
+    snap, ref_mean = _run_reference_chain(ref, fx)
+    rendered, depth, loss, logs = _run_repo_chain(fx, monkeypatch)
+
+    for key in ("reproj_loss", "spatio_loss", "spatio_tempo_loss", "smooth"):
+        np.testing.assert_allclose(
+            float(logs[key]), ref_mean[key], rtol=2e-3, atol=1e-6,
+            err_msg=key)
+    np.testing.assert_allclose(float(loss), ref_mean["total_loss"],
+                               rtol=2e-3, atol=1e-6)
+
+    # auto-masked reprojection panels. The auto-mask is a DISCRETE
+    # reproj-vs-identity comparison; pixels where the two losses are within
+    # torch-vs-XLA float noise (~1e-7) can flip either way, so a tiny flip
+    # budget is allowed (measured: 1 pixel of 36864) and the masked map is
+    # compared only where the masks agree.
+    total_px = 0
+    flipped = 0
+    for cam in range(CAMS):
+        mine = np.asarray(logs["reproj_mask"][:, cam])
+        want = np.moveaxis(snap[cam][("reproj_mask", 0)], 1, -1)
+        agree = mine == want
+        total_px += mine.size
+        flipped += int((~agree).sum())
+        map_mine = np.asarray(logs["reproj_map"][:, cam])
+        map_want = np.moveaxis(snap[cam][("reproj_loss", 0)], 1, -1)
+        np.testing.assert_allclose(
+            np.where(agree, map_mine, 0.0), np.where(agree, map_want, 0.0),
+            rtol=1e-3, atol=2e-4, err_msg=f"reproj_map cam{cam}")
+    assert flipped <= max(4, total_px // 5000), (
+        f"{flipped}/{total_px} auto-mask pixels flipped — beyond float-tie noise")

@@ -82,10 +82,12 @@ def masked_mean(loss: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
 
 
 def auto_mask(reproj_loss: jnp.ndarray, identity_loss: jnp.ndarray) -> jnp.ndarray:
-    """Monodepth2 auto-mask: 1 where reprojection beats identity
-    (loss_util.py:6-19's argmin==0 on the concat is equivalent to
-    reproj < identity for the two-entry case)."""
-    return (reproj_loss < identity_loss).astype(reproj_loss.dtype)
+    """Monodepth2 auto-mask: 1 where reprojection beats identity.
+
+    Ties go to the reprojection term: loss_util.py:6-19 takes argmin over
+    the [reproj, identity] concat and argmin returns the FIRST minimal
+    index, so equality means mask 1 — hence ``<=``, not ``<``."""
+    return (reproj_loss <= identity_loss).astype(reproj_loss.dtype)
 
 
 def mean_normalized_disp(disp: jnp.ndarray) -> jnp.ndarray:
