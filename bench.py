@@ -30,7 +30,7 @@ import numpy as np
 BASELINE_SAMPLES_PER_SEC = 2.0
 
 
-def run_bench(batch_size, height, width, n_steps, use_bf16):
+def run_bench(batch_size, height, width, n_steps, use_bf16, rig=None):
     import jax
     import jax.numpy as jnp
 
@@ -88,7 +88,7 @@ def run_bench(batch_size, height, width, n_steps, use_bf16):
     # overlap strips, so the warp windows engage as they do on real data.
     # "even" (rounds 1-2) spaces cameras at 60 deg with ~85 deg FOV: its
     # overlaps span the full image, an unrealistically hard stress rig.
-    rig = os.environ.get("BENCH_RIG", "nuscenes")
+    rig = rig or os.environ.get("BENCH_RIG", "nuscenes")
     ds = FakeDataset(num_samples=batch_size, num_cams=6, height=height,
                      width=width, fusion_level=2, rig=rig)
     batch = {k: jnp.asarray(v) for k, v in
@@ -162,13 +162,37 @@ def main():
                 raise
 
     samples_per_sec = batch_size / dt
-    print(json.dumps({
+    result = {
         "metric": "6cam_samples_per_sec_per_chip",
         "value": round(samples_per_sec, 4),
         "unit": f"6-camera framesets/s (batch {batch_size}, {height}x{width}, "
                 f"{'bf16' if use_bf16 else 'f32'} train step)",
         "vs_baseline": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC, 3),
-    }))
+    }
+
+    # Secondary points, so the headline stays comparable across rounds
+    # (VERDICT r3 weak #1): the rounds-1/2 uniform "even" stress rig (its
+    # full-image overlaps disengage the warp windows) and the batch-2 point
+    # (the reference's per-GPU batch). Skipped under --profile / explicit
+    # BENCH_RIG or batch overrides; failures never kill the headline.
+    extras = {}
+    default_run = ("BENCH_RIG" not in os.environ and batch_size == 1
+                   and os.environ.get("BENCH_EXTRAS", "1") == "1"
+                   and "--profile" not in sys.argv)
+    if default_run:
+        for key, kwargs in (
+                ("even_rig", dict(batch_size=1, rig="even")),
+                ("batch2", dict(batch_size=2, rig="nuscenes"))):
+            try:
+                dt_x = run_bench(n_steps=n_steps, height=height, width=width,
+                                 use_bf16=use_bf16, **kwargs)
+                extras[f"{key}_samples_per_sec"] = round(
+                    kwargs["batch_size"] / dt_x, 4)
+            except Exception as e:
+                sys.stderr.write(f"bench extra {key} failed: {str(e)[:200]}\n")
+    if extras:
+        result["extra"] = extras
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

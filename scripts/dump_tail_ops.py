@@ -27,8 +27,14 @@ def main(logdir, n_steps):
         cat = _bucket(name, hcat, hlo)
         if cat not in CATS:
             continue
-        m = re.search(r"= ([a-z0-9\[\],]+)\{", hlo)
-        shape = m.group(1) if m else hlo[:40]
+        # output shape signature: handles plain 'f32[1,2]{...}' and tuple
+        # '(f32[..]{..}, s32[..]{..})' outputs; layout braces stripped.
+        # Truncated long_names (the trace clips at ~160 chars) fall back to
+        # the op name with the leading '%name = ' dropped.
+        m = re.search(r"= (\(?[a-z0-9\[\],{}:()TSE]+?)(?: [a-z%].*)?$", hlo)
+        shape = (re.sub(r"\{[^}]*\}", "", m.group(1)) if m
+                 else re.sub(r"^%\S+ = ", "", hlo)[:40])
+        shape = shape.split("{")[0]  # truncation mid-layout leaves one open
         g = groups[(cat, shape)]
         g[0] += ms
         g[1] += 1
@@ -40,4 +46,16 @@ def main(logdir, n_steps):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], int(sys.argv[2]))
+    if len(sys.argv) != 3:
+        print(__doc__.strip().splitlines()[-1], file=sys.stderr)
+        sys.exit(1)
+    try:
+        steps = int(sys.argv[2])
+    except ValueError:
+        print(f"n_steps must be an integer, got {sys.argv[2]!r}",
+              file=sys.stderr)
+        sys.exit(1)
+    if steps <= 0:
+        print("n_steps must be >= 1", file=sys.stderr)
+        sys.exit(1)
+    main(sys.argv[1], steps)

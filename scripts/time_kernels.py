@@ -1,4 +1,4 @@
-"""Device-time kernel benchmark: N kernel calls chained INSIDE one jit
+"""Device-time kernel microbenchmark (consolidated time_pallas* probes): N kernel calls chained INSIDE one jit
 (fori_loop with value feedback) — immune to the axon tunnel's per-dispatch
 latency, which floors naive per-iteration timing at ~10-25 ms."""
 import os, sys, time

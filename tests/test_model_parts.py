@@ -208,6 +208,55 @@ def test_merged_backprojection_matches_separate():
                                np.asarray(out_s["cam_T_cam"]), atol=1e-5)
 
 
+@pytest.mark.slow
+def test_merged_backprojection_train_grad_equivalence():
+    """TRAIN-mode per-leaf gradient equivalence of the merged pose+depth
+    back-projection vs separate passes (the merge rewires the model's
+    highest-traffic gradient path; the eval-mode test above cannot see a
+    backward-only defect). Deterministic setup: gather 2D sampler (micro
+    config resolves 'auto' to gather on CPU), f32-accumulating 3D sampler,
+    same rng both paths."""
+    cfg = micro_config()
+    batch = _batch(cfg)
+    rng = jax.random.PRNGKey(0)
+
+    cfg.set("merge_backprojection", True, section="tpu")
+    merged_model = VFDepthModel(cfg)
+    assert merged_model._can_merge_backproject()
+    assert merged_model._bp_statics["sampler_2d"] in ("auto", "gather")
+    params, stats = merged_model.init(rng, batch)
+
+    cfg.set("merge_backprojection", False, section="tpu")
+    sep_model = VFDepthModel(cfg)
+    assert not sep_model._can_merge_backproject()
+
+    def grads_of(model):
+        def loss_fn(p):
+            _, (loss, _), _ = model.forward(p, stats, batch, rng, train=True)
+            return loss
+        return jax.value_and_grad(loss_fn)(params)
+
+    loss_m, gm = grads_of(merged_model)
+    loss_s, gs = grads_of(sep_model)
+    np.testing.assert_allclose(float(loss_m), float(loss_s), rtol=1e-5)
+
+    flat_m = jax.tree_util.tree_leaves_with_path(gm)
+    flat_s = jax.tree_util.tree_leaves(gs)
+    # global scale for the absolute floor: discrete automask pixels can flip
+    # between the two compilations (f32 fusion reassociation), each moving
+    # some leaves by ~1e-6 absolute; a real backward-wiring bug is O(1)
+    gscale = float(np.sqrt(sum(
+        float(jnp.sum(g.astype(jnp.float32) ** 2)) for g in flat_s)))
+    for (path, a), b in zip(flat_m, flat_s):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        err = np.linalg.norm(a - b)
+        bound = 1e-4 * max(np.linalg.norm(b), 1e-3 * gscale)
+        assert err <= bound, (
+            f"{jax.tree_util.keystr(path)}: grad divergence {err:.3e} "
+            f"(leaf norm {np.linalg.norm(b):.3e}, bound {bound:.3e})")
+
+
 def test_predict_pose_override_disables_merge():
     """The GT-pose probes/tests monkeypatch model.predict_pose; the merged
     pose+depth back-projection must detect the instance override and route

@@ -22,6 +22,30 @@ def parse_args():
     return parser.parse_args()
 
 
+def check_init_strategy(cfg):
+    """Warn when the config assumes ImageNet encoder init but no weight file
+    is available AND the cold-start recipe is off — that combination
+    collapses within ~100 steps (docs/PERF.md 'Learning validation').
+    Points at the supported alternatives instead of failing late."""
+    if not cfg.get("weights_init", False):
+        return
+    from vfdepth_tpu.models.torchvision_init import find_resnet_weights
+    if find_resnet_weights(cfg.get("num_layers", 18)):
+        return
+    if int(cfg.get("cold_start_warmup_steps", 0)) > 0:
+        return
+    print(
+        "WARNING: weights_init is true but no pretrained ResNet weights were "
+        "found (assets/weights/resnet*_imagenet.npz / VFDEPTH_RESNET_WEIGHTS),"
+        " and the cold-start schedule is off. Joint training from a random "
+        "init collapses under the plain objective. Either fetch weights "
+        "(`python scripts/fetch_imagenet_weights.py` on a networked machine) "
+        "or train from scratch with the staged recipe: "
+        "configs/ddad/ddad_surround_fusion_scratch.yaml / "
+        "configs/nuscenes/nusc_surround_fusion_scratch.yaml.",
+        file=sys.stderr)
+
+
 def train(cfg, max_steps=None):
     from vfdepth_tpu.data.factory import construct_dataset
     from vfdepth_tpu.data.loader import BatchLoader
@@ -35,6 +59,7 @@ def train(cfg, max_steps=None):
     # (utils/ddp.py:10-29, models/vfdepth.py:117-125)
     maybe_initialize_distributed()
     shard_index, num_shards = loader_shard()
+    check_init_strategy(cfg)
 
     model = VFDepthModel(cfg)
 

@@ -21,6 +21,23 @@ import numpy as np
 _STAGE_BLOCKS = {18: [2, 2, 2, 2], 34: [3, 4, 6, 3], 50: [3, 4, 6, 3]}
 
 
+def find_resnet_weights(num_layers: int = 18) -> Optional[str]:
+    """Resolve the pretrained-weights file the loader would use, or None.
+
+    Order: ``VFDEPTH_RESNET_WEIGHTS`` env var, then the repo-local
+    ``assets/weights/resnet<N>_imagenet.npz`` written by
+    ``scripts/fetch_imagenet_weights.py``.
+    """
+    env = os.environ.get("VFDEPTH_RESNET_WEIGHTS", "")
+    if env:
+        return env if os.path.isfile(env) else None
+    default = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))),
+        "assets", "weights", f"resnet{num_layers}_imagenet.npz")
+    return default if os.path.isfile(default) else None
+
+
 def _load_state_dict(path: str) -> Optional[Dict[str, np.ndarray]]:
     if path.endswith(".npz"):
         with np.load(path) as f:
@@ -61,15 +78,7 @@ def load_resnet_encoder_params(
     Returns (params, batch_stats) — updated copies when weights are found,
     the inputs unchanged otherwise.
     """
-    weights_path = weights_path or os.environ.get("VFDEPTH_RESNET_WEIGHTS", "")
-    if not weights_path:
-        # default repo-local location written by scripts/fetch_imagenet_weights.py
-        default = os.path.join(
-            os.path.dirname(os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__)))),
-            "assets", "weights", f"resnet{num_layers}_imagenet.npz")
-        if os.path.isfile(default):
-            weights_path = default
+    weights_path = weights_path or find_resnet_weights(num_layers)
     if not weights_path or not os.path.isfile(weights_path):
         warnings.warn(
             "weights_init requested but no pretrained ResNet weights found. "
