@@ -74,6 +74,8 @@ def run_bench(batch_size, height, width, n_steps, use_bf16, rig=None):
                 # ablation knobs (BENCH_* envs; defaults = production config)
                 "warp_op": os.environ.get("BENCH_WARP_OP", "auto"),
                 "warp_window": os.environ.get("BENCH_WARP_WINDOW", "1") == "1",
+                # 'actual' | 'interval' | 'dense'
+                "st_window_mode": os.environ.get("BENCH_ST_WINDOW", "actual"),
                 "sampler_3d": os.environ.get("BENCH_SAMPLER_3D", "packed"),
                 "batch_pose_frames": os.environ.get("BENCH_POSE_BATCH", "1") == "1",
                 # 'pallas' | 'transpose' | 'conv3d'

@@ -18,3 +18,16 @@ import jax  # noqa: E402
 if os.environ.get("VFDEPTH_TEST_TPU", "0") != "1":
     jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# Persistent compilation cache across suite runs: the fast suite's wall time
+# is dominated by one-core XLA compiles of near-identical micro models
+# (~9 min cold). Entries are keyed by HLO + compile options, so source
+# changes that alter a program recompile only that program.
+_cache_dir = os.environ.get("VFDEPTH_TEST_CACHE",
+                            "/tmp/vfdepth_test_jit_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+except Exception:  # older jax without the knobs: run uncached
+    pass

@@ -73,14 +73,11 @@ def test_gt_pose_training_improves_depth():
     assert after < 0.7 * before, f"abs_rel did not improve: {before} -> {after}"
 
 
-@pytest.mark.slow
-def test_cold_start_joint_training_improves_depth():
-    """FULL joint training from a RANDOM init — no GT-pose crutch, no
-    pretrained encoders — must improve depth under the staged cold-start
-    recipe (temporal-only warmup, then the overlap coefficients ramp in).
-    This is the in-environment path to accuracy parity without ImageNet
-    weights (VERDICT r2 #2); without the recipe this run collapses to max
-    depth (docs/PERF.md "Learning validation")."""
+def _run_cold_start(speed: float, n: int, stopped_every: int = 0):
+    """Joint cold-start training on the synthetic scene at the given
+    ego-speed; returns (abs_rel before, abs_rel after). ``stopped_every``
+    > 0 interleaves one ZERO-motion sample per that many moving ones (a
+    stopped-vehicle segment — common in DDAD/nuScenes)."""
     from vfdepth_tpu.presets import build_config
     from vfdepth_tpu.data.synthetic_scene import SyntheticSceneDataset
     from vfdepth_tpu.training.model import VFDepthModel
@@ -88,8 +85,7 @@ def test_cold_start_joint_training_improves_depth():
                                            create_train_state)
     from vfdepth_tpu.utils.metrics import compute_depth_metrics
 
-    h, w, speed = 96, 160, 0.5
-    n = int(os.environ.get("LEARN_TEST_CS_STEPS", "600"))
+    h, w = 96, 160
     cfg = build_config(height=h, width=w, batch_size=1, mixed_precision=True,
                        learning_rate=2e-4, max_depth=80.0, eval_max_depth=80)
     cfg.set("cold_start_warmup_steps", n // 3, section="training")
@@ -100,6 +96,17 @@ def test_cold_start_joint_training_improves_depth():
                                fusion_level=2, speed=speed)
     batches = [{k: jnp.asarray(v) for k, v in ds.batch([i]).items()}
                for i in range(len(ds))]
+    if stopped_every:
+        ds0 = SyntheticSceneDataset(num_samples=2, num_cams=6, height=h,
+                                    width=w, fusion_level=2, speed=0.0)
+        stopped = [{k: jnp.asarray(v) for k, v in ds0.batch([i]).items()}
+                   for i in range(len(ds0))]
+        mixed = []
+        for i, b in enumerate(batches * 2):
+            mixed.append(b)
+            if (i + 1) % stopped_every == 0:
+                mixed.append(stopped[i % len(stopped)])
+        batches = mixed
     rng = jax.random.PRNGKey(0)
     state, tx = create_train_state(model, rng, batches[0],
                                    steps_per_epoch=10_000)
@@ -118,9 +125,51 @@ def test_cold_start_joint_training_improves_depth():
         # the ramp is driven by state.step inside the compiled step
         state, logs = step(state, batches[i % len(batches)], rng)
     jax.block_until_ready(logs["total_loss"])
-    after = abs_rel(state)
+    return before, abs_rel(state)
+
+
+@pytest.mark.slow
+def test_cold_start_joint_training_improves_depth():
+    """FULL joint training from a RANDOM init — no GT-pose crutch, no
+    pretrained encoders — must improve depth under the staged cold-start
+    recipe (temporal-only warmup, then the overlap coefficients ramp in).
+    This is the in-environment path to accuracy parity without ImageNet
+    weights (VERDICT r2 #2); without the recipe this run collapses to max
+    depth (docs/PERF.md "Learning validation")."""
+    n = int(os.environ.get("LEARN_TEST_CS_STEPS", "600"))
+    before, after = _run_cold_start(0.5, n)
     assert np.isfinite(after)
     # joint training must not collapse (collapse lands ~1.0+ as depth
     # saturates) and must beat the random-init error materially
     assert after < 0.6 * before, (
         f"cold-start joint training did not improve: {before} -> {after}")
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("speed", [0.1, 1.5])
+def test_cold_start_speed_robustness(speed):
+    """The cold-start priors are constants tuned at 0.5 m/frame; they must
+    not break at slow (0.1 m/frame ≈ creeping traffic) or fast
+    (1.5 m/frame ≈ 54 km/h at 10 Hz) ego-speeds. The priors fade out with
+    the ramp, so convergence — not final accuracy — is what's asserted.
+    Note 1.5 m/frame sits ABOVE the pose-prior ceiling (1.0 m): the fading
+    hinge must not prevent the photometric gradient from reaching the true
+    scale (VERDICT r3 weak #3)."""
+    n = int(os.environ.get("LEARN_TEST_CS_STEPS", "600"))
+    before, after = _run_cold_start(speed, n)
+    assert np.isfinite(after)
+    assert after < 0.6 * before, (
+        f"cold start at speed {speed} did not improve: {before} -> {after}")
+
+
+@pytest.mark.slow
+def test_cold_start_with_stopped_frames():
+    """A stopped-vehicle segment (zero-motion samples mixed 1-in-4) must not
+    derail the recipe: stopped frames carry no temporal-parallax signal and
+    their identity warps fight the pose-magnitude floor — both effects must
+    wash out against the moving majority."""
+    n = int(os.environ.get("LEARN_TEST_CS_STEPS", "600"))
+    before, after = _run_cold_start(0.5, n, stopped_every=3)
+    assert np.isfinite(after)
+    assert after < 0.6 * before, (
+        f"cold start with stopped frames did not improve: {before} -> {after}")

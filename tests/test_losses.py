@@ -79,11 +79,13 @@ def test_masked_mean():
 
 
 def test_auto_mask_semantics():
-    """Mask is 1 exactly where reprojection beats identity (argmin==0)."""
+    """Mask is 1 exactly where reprojection beats OR TIES identity: the
+    reference takes argmin over [reproj, identity] (loss_util.py:6-19) and
+    argmin returns the first minimal index, so equality keeps the pixel."""
     reproj = jnp.asarray([0.1, 0.5, 0.3])
     ident = jnp.asarray([0.2, 0.4, 0.3])
     got = np.asarray(auto_mask(reproj, ident))
-    np.testing.assert_allclose(got, [1.0, 0.0, 0.0])
+    np.testing.assert_allclose(got, [1.0, 0.0, 1.0])
 
 
 def test_mean_normalized_disp():

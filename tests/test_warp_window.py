@@ -240,3 +240,73 @@ def test_trainer_overflow_fallback(tmp_path):
     assert tr._note_warp_overflow(5.0)       # consecutive strike 2 -> dense
     assert model.warp_window is False and model.warp_window_hw is None
     assert not tr._note_warp_overflow(4.0)   # already dense: no rebuild loop
+
+
+def _windows_actual(s, st_hw):
+    """compute_windows in actual-depth ST mode (st_depth = the step depth)."""
+    rel = jnp.asarray(s["rel"])
+    spatio_hw = _estimate(s, with_motion=False)
+    return compute_windows(
+        s["inv_k"], s["k"], s["spatio_pose"], s["st_pose"],
+        jnp.maximum(rel, 0), rel >= 0, H, W, spatio_hw, st_hw,
+        MIN_D, MAX_D, FSCALE, st_depth=s["depth"])
+
+
+def test_st_actual_windows_equal_dense():
+    """Actual-depth ST include masks: rendered outputs equal the dense
+    formulation and the static box (interval near-slot + pad) holds the
+    actual spans (overflow 0)."""
+    from vfdepth_tpu.geometry.warp_window import st_actual_hw
+
+    s = _setup(seed=3)
+    st_hw = st_actual_hw(_estimate(s, with_motion=False), H, W, pad_w=16)
+    win = _windows_actual(s, st_hw)
+    assert win.st_origin is not None
+    assert float(win.overflow) == 0.0
+    dense = _render(s, None)
+    boxed = _render(s, win)
+    np.testing.assert_allclose(np.asarray(boxed.overlap_img),
+                               np.asarray(dense.overlap_img), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(boxed.overlap_mask),
+                               np.asarray(dense.overlap_mask), atol=1e-6)
+
+
+def test_st_actual_depth_gradient_equals_dense():
+    """Gradients w.r.t. depth through the actual-depth ST windows equal the
+    dense path's (the include predicate covers the tap fringe where weights
+    are zero but their coordinate derivatives are not)."""
+    from vfdepth_tpu.geometry.warp_window import st_actual_hw
+
+    s = _setup(seed=4)
+    st_hw = st_actual_hw(_estimate(s, with_motion=False), H, W, pad_w=16)
+
+    def loss(depth, windows):
+        out = render_views(
+            s["colors"], s["mask"], s["k"], s["inv_k"], depth,
+            s["cam_t_cam"], s["spatio_pose"], s["st_pose"],
+            jnp.asarray(s["rel"]), (0, -1, 1), do_intensity_align=True,
+            spatio=True, spatio_temporal=True,
+            min_depth=MIN_D, max_depth=MAX_D, windows=windows)
+        return (jnp.sum(out.overlap_img ** 2)
+                + jnp.sum(out.overlap_mask * 0.3))
+
+    def win_of(depth):
+        rel = jnp.asarray(s["rel"])
+        return compute_windows(
+            s["inv_k"], s["k"], s["spatio_pose"], s["st_pose"],
+            jnp.maximum(rel, 0), rel >= 0, H, W,
+            _estimate(s, with_motion=False), st_hw,
+            MIN_D, MAX_D, FSCALE, st_depth=jax.lax.stop_gradient(depth))
+
+    g_dense = jax.grad(lambda d: loss(d, None))(s["depth"])
+    g_boxed = jax.grad(lambda d: loss(d, win_of(d)))(s["depth"])
+    np.testing.assert_allclose(np.asarray(g_boxed), np.asarray(g_dense),
+                               atol=1e-3, rtol=1e-4)
+
+
+def test_st_actual_overflow_flags_undersized_box():
+    """A static box smaller than the actual spans must raise the overflow
+    scalar (the trainer's dense-fallback trigger)."""
+    s = _setup(seed=3)
+    win = _windows_actual(s, ((16, 16), (16, 16)))
+    assert float(win.overflow) > 0.0

@@ -124,6 +124,47 @@ def _bbox_origin(include, h, w, box_h, box_w):
     return jnp.stack([y0, x0], axis=-1), span_h, span_w
 
 
+def _st_actual_include(
+    depth: jnp.ndarray,          # [b, cams, H, W, 1] ACTUAL predicted depth
+    inv_k: jnp.ndarray,          # [b, cams, 4, 4]
+    src_k: jnp.ndarray,          # [b, cams, n_nbr, 4, 4]
+    st_pose: jnp.ndarray,        # [b, cams, n_ctx, n_nbr, 4, 4]
+    h: int,
+    w: int,
+):
+    """Per-pixel include masks for the spatio-temporal warps from the step's
+    ACTUAL depth (slot 0: finite in-image-with-fringe; slot 1: non-finite
+    coords, whose dense warp value is 2.0).
+
+    Unlike ``_include_masks`` this needs no depth interval and no motion
+    bound: the warped value/mask/coordinate-gradient at a target pixel
+    depend only on its own projected coordinate at its own depth, and the
+    coordinates are computed by the SAME ``project_coords`` the dense warp
+    uses — a pixel outside both slots provably computes exact zeros (taps
+    and their derivatives vanish beyond the 2-px fringe). The interval
+    machinery stays for the spatio warps, whose no-motion bound is already
+    exact-static; for ST it had to assume worst-case egomotion, which blows
+    the boxes to the full image on real rigs (docs/PERF.md (c)).
+    """
+    from .projection import project_coords
+
+    b, cams = depth.shape[:2]
+    n_ctx, n_nbr = st_pose.shape[2], st_pose.shape[3]
+    dep = jnp.broadcast_to(depth[:, :, None, None],
+                           (b, cams, n_ctx, n_nbr) + depth.shape[2:])
+    coords = project_coords(
+        dep.astype(jnp.float32), st_pose.astype(jnp.float32),
+        inv_k[:, :, None, None].astype(jnp.float32),
+        src_k[:, :, None].astype(jnp.float32))  # [b,cams,ctx,nbr,H,W,2]
+    fin = jnp.all(jnp.isfinite(coords), axis=-1)
+    ex = 2.0 * 2.0 / (w - 1)     # 2-px tap fringe in normalized units
+    ey = 2.0 * 2.0 / (h - 1)
+    cx, cy = coords[..., 0], coords[..., 1]
+    in_img = (fin & (cx >= -1.0 - ex) & (cx <= 1.0 + ex)
+              & (cy >= -1.0 - ey) & (cy <= 1.0 + ey))
+    return in_img, ~fin
+
+
 def compute_windows(
     inv_k: jnp.ndarray,          # [b, cams, 4, 4] target intrinsics^-1 (scale 0)
     k: jnp.ndarray,              # [b, cams, 4, 4]
@@ -138,8 +179,16 @@ def compute_windows(
     min_depth: float,
     max_depth: float,
     focal_length_scale: float,
+    st_depth: Optional[jnp.ndarray] = None,  # actual depth -> per-step ST masks
 ) -> WarpWindows:
-    """Windows for the spatio + spatio-temporal warps of one step."""
+    """Windows for the spatio + spatio-temporal warps of one step.
+
+    ``st_depth`` (the step's predicted depth, stop-gradient) switches the
+    spatio-temporal include masks from the worst-case-motion interval
+    analysis to the exact per-step masks of ``_st_actual_include`` — the
+    static ``st_hw`` then only needs to bound TYPICAL spans (the runtime
+    overflow flag + the trainer's dense fallback cover fast-motion
+    excursions)."""
     geo = jnp.float32
     b, cams = inv_k.shape[:2]
     n_nbr = rel_idx.shape[1]
@@ -175,7 +224,18 @@ def compute_windows(
         sp_origin, sp_spans = windows_for(spatio_pose, spatio_hw)
         all_spans.extend(sp_spans)
     st_origin = None
-    if st_hw is not None:
+    if st_hw is not None and st_depth is not None:
+        in_img, nonfin = _st_actual_include(
+            st_depth, inv_k, src_k, st_pose, height, width)
+        nv = nbr_valid[None, :, None, :, None, None]
+        origins = []
+        for slot, inc in enumerate((in_img & nv, nonfin & nv)):
+            o, sh, sw = _bbox_origin(inc, height, width,
+                                     st_hw[slot][0], st_hw[slot][1])
+            origins.append(o)
+            all_spans.append((sh - st_hw[slot][0], sw - st_hw[slot][1]))
+        st_origin = jnp.stack(origins, axis=-2)  # [b,cams,ctx,nbr,2(slot),2]
+    elif st_hw is not None:
         st_origins = []
         for f in range(n_ctx):
             o, spans = windows_for(st_pose[:, :, f], st_hw)
@@ -200,6 +260,21 @@ def compute_windows(
 
 def _round_up(x: int, m: int) -> int:
     return min(int(-(-x // m) * m), 1 << 30)
+
+
+def st_actual_hw(spatio_hw, height: int, width: int, pad_w: int = 64):
+    """Static box sizes for the actual-depth ST mode.
+
+    Slot 0 (finite in-image) is the rig's no-motion interval near-slot
+    widened by a motion-parallax pad: egomotion |t| at typical depth d
+    shifts projections by ~fx*|t|/d (measured <= ~60 px at 1.5 m/frame on
+    the nuScenes-geometry rig; the overflow flag + trainer dense fallback
+    cover faster segments). Slot 1 (non-finite coords -> dense value 2.0)
+    is a measure-zero set, minimally boxed."""
+    (h0, w0), _ = spatio_hw
+    slot0 = (h0, min(_round_up(w0 + pad_w, 64), width))
+    slot1 = (min(16, height), min(64, width))
+    return slot0, slot1
 
 
 def estimate_window_hw(

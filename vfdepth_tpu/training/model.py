@@ -12,6 +12,7 @@ Monodepth baseline -> Monodepth2-style per-camera nets).
 """
 from __future__ import annotations
 
+import functools
 from typing import Dict
 
 import numpy as np
@@ -35,6 +36,31 @@ from ..geometry import vec_to_matrix, distribute_pose, relative_cam_poses, inver
 from ..geometry.view_rendering import render_views, RenderOutputs
 from ..losses import LossConfig, total_loss
 from ..ops.resize import resize_bilinear
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _split_merged_channels(feat: jnp.ndarray, cp: int):
+    """Split the merged back-projection output [..., cp + cd + 1] into
+    (pose [..., cp + 1], depth [..., cd + 1]); the trailing rel-depth
+    channel is shared geometry, copied into both. The custom backward
+    writes the merged cotangent as ONE concat (plus the rel-column add)
+    instead of autodiff's pad-to-width-and-add per slice."""
+    rel = feat[..., -1:]
+    return jnp.concatenate([feat[..., :cp], rel], axis=-1), feat[..., cp:]
+
+
+def _split_merged_fwd(feat, cp):
+    return _split_merged_channels(feat, cp), ()
+
+
+def _split_merged_bwd(cp, res, g):
+    g_pose, g_depth = g
+    rel_g = g_pose[..., -1:] + g_depth[..., -1:]
+    return (jnp.concatenate(
+        [g_pose[..., :cp], g_depth[..., :-1], rel_g], axis=-1),)
+
+
+_split_merged_channels.defvjp(_split_merged_fwd, _split_merged_bwd)
 
 
 def loss_config_from(cfg: Config) -> LossConfig:
@@ -115,6 +141,17 @@ class VFDepthModel:
         # micro-tiles processed, d/dx-d/dy streams, patch permutes — scales
         # with the window/image area ratio.
         self.warp_window = bool(cfg.get("warp_window", True))
+        # Spatio-temporal window mode (tpu.st_window_mode):
+        #   'actual'   (default) — include masks from the step's PREDICTED
+        #     depth (exact per step; geometry/warp_window.py
+        #     _st_actual_include). The static box only bounds typical spans
+        #     (interval near-slot + tpu.st_window_pad columns); fast-motion
+        #     excursions trip the overflow flag -> trainer dense fallback.
+        #   'interval' — worst-case-motion interval bound (rounds 1-3;
+        #     full-image on real rigs, so ST effectively ran dense).
+        #   'dense'    — never window the ST warps.
+        self.st_window_mode = str(cfg.get("st_window_mode", "actual"))
+        self.st_window_pad = int(cfg.get("st_window_pad", 64))
         hw = cfg.get("warp_window_hw", None)  # [h, w] or [[h0,w0],[h1,w1]]
         if hw and not isinstance(hw[0], (list, tuple)):
             hw = (tuple(hw), tuple(hw))
@@ -254,15 +291,29 @@ class VFDepthModel:
             return None if area >= 0.9 * self.height * self.width else hw
 
         # spatio windows depend only on the rig extrinsics (exact); the
-        # spatio-temporal ones compose the predicted egomotion (bounded)
+        # spatio-temporal ones either bound worst-case egomotion ('interval')
+        # or use the step's actual depth with a typical-span static box
+        # ('actual' — see st_window_mode above)
         spatio_hw = sized(False) if self.loss_cfg.spatio else None
-        st_hw = sized(True) if self.loss_cfg.spatio_temporal else None
+        st_hw = None
+        if self.loss_cfg.spatio_temporal:
+            if self.st_window_mode == "actual":
+                from ..geometry.warp_window import st_actual_hw
+                base = spatio_hw if spatio_hw is not None else sized(False)
+                if base is not None:
+                    st_hw = st_actual_hw(base, self.height, self.width,
+                                         self.st_window_pad)
+                    area = sum(h * w for h, w in st_hw)
+                    if area >= 0.9 * self.height * self.width:
+                        st_hw = None
+            elif self.st_window_mode == "interval":
+                st_hw = sized(True)
         if spatio_hw is None and st_hw is None:
             self.warp_window = False
             return
         self.warp_window_hw = (spatio_hw, st_hw)
 
-    def _windows(self, batch, spatio_pose, st_pose):
+    def _windows(self, batch, spatio_pose, st_pose, depth=None):
         if not self.warp_window or self.warp_window_hw is None:
             return None
         if spatio_pose is None or st_pose is None:
@@ -270,6 +321,9 @@ class VFDepthModel:
         from ..geometry.warp_window import compute_windows
         rel = jnp.asarray(self.rel_cam)
         spatio_hw, st_hw = self.warp_window_hw
+        st_depth = None
+        if self.st_window_mode == "actual" and depth is not None:
+            st_depth = jax.lax.stop_gradient(depth)
         # origins are integers — no gradient can flow; stop_gradient keeps
         # the bbox computation out of the autodiff graph entirely
         return compute_windows(
@@ -277,7 +331,7 @@ class VFDepthModel:
             jax.lax.stop_gradient(spatio_pose), jax.lax.stop_gradient(st_pose),
             jnp.maximum(rel, 0), rel >= 0, self.height, self.width,
             spatio_hw, st_hw, self.min_depth, self.max_depth,
-            self.focal_length_scale)
+            self.focal_length_scale, st_depth=st_depth)
 
     # ------------------------------------------------------------------
     def init(self, rng: jax.Array, batch: Dict[str, jnp.ndarray]):
@@ -501,10 +555,11 @@ class VFDepthModel:
             grouped = False
         # split per path; the appended rel-depth channel (last) is shared
         # geometry — the depth slice already ends with it, the pose slice
-        # gets a copy
-        rel = feat[..., -1:]
-        feat_pose = jnp.concatenate([feat[..., :cp], rel], axis=-1)
-        feat_depth = feat[..., cp:]
+        # gets a copy. custom VJP: autodiff of the two slices would pad
+        # each cotangent back to the merged width and add (three full
+        # [b, 2, n, C_merged] passes, ~3 ms/step at DDAD shapes); the true
+        # cotangent is one concat plus a rel-column add.
+        feat_pose, feat_depth = _split_merged_channels(feat, cp)
 
         (axisangle, translation), pstats = self._apply(
             self.pose_net, params["pose_net"], pstats, feat_pose, count,
@@ -593,7 +648,13 @@ class VFDepthModel:
         spatio_pose, st_pose = relative_cam_poses(
             batch["extrinsics"], batch["extrinsics_inv"], cam_t_cam, self.rel_cam)
 
-        windows = self._windows(batch, spatio_pose, st_pose)
+        # ST actual-depth include masks depend on the scale's depth: the
+        # production config has one scale (windows computed once from it);
+        # multi-scale configs get per-scale windows
+        per_scale_windows = (self.st_window_mode == "actual"
+                             and len(self.scales) > 1)
+        windows = (None if per_scale_windows else self._windows(
+            batch, spatio_pose, st_pose, depths[min(self.scales)]))
 
         # Under mixed precision the warp sources stream as bf16: the MXU
         # warp casts sources to bf16 IN-kernel anyway (the one-hot matmuls
@@ -604,7 +665,13 @@ class VFDepthModel:
         colors = {f: batch[f"color/{f}/0"].astype(self.compute_dtype)
                   for f in self.frame_ids}
         rendered: Dict[int, RenderOutputs] = {}
+        overflow = None
         for s in self.scales:
+            win_s = (self._windows(batch, spatio_pose, st_pose, depths[s])
+                     if per_scale_windows else windows)
+            if win_s is not None:
+                overflow = (win_s.overflow if overflow is None
+                            else jnp.maximum(overflow, win_s.overflow))
             rendered[s] = render_views(
                 colors, batch["mask"], k0, batch["inv_K/0"], depths[s],
                 cam_t_cam, spatio_pose, st_pose, self.rel_cam,
@@ -617,16 +684,17 @@ class VFDepthModel:
                 extrinsics_aug=extrinsics_aug,
                 depth_aug=depths_aug[s] if depths_aug else None,
                 min_depth=self.min_depth, max_depth=self.max_depth,
-                windows=windows, warp_op=self.warp_op)
+                windows=win_s, warp_op=self.warp_op)
 
         loss, logs = total_loss(rng_noise, self.loss_cfg, batch, disps, depths,
                                 cam_t_cam, rendered,
                                 disps_aug=disps_aug, depths_aug=depths_aug,
                                 step=step)
-        if windows is not None:
-            # >0 would mean a warp window truncated real content this step
-            # (should never fire with the setup-time motion margin)
-            logs["warp_window_overflow"] = windows.overflow
+        if overflow is not None:
+            # >0 means a warp window truncated real content this step — the
+            # trainer warns and falls back to dense warps on two consecutive
+            # strikes (expected only under fast egomotion in 'actual' mode)
+            logs["warp_window_overflow"] = overflow
 
         outputs = {"cam_T_cam": cam_t_cam}
         for s in self.scales:
