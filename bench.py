@@ -78,8 +78,6 @@ def run_bench(batch_size, height, width, n_steps, use_bf16, rig=None):
                 "st_window_mode": os.environ.get("BENCH_ST_WINDOW", "actual"),
                 "sampler_3d": os.environ.get("BENCH_SAMPLER_3D", "packed"),
                 "batch_pose_frames": os.environ.get("BENCH_POSE_BATCH", "1") == "1",
-                # 'pallas' | 'transpose' | 'conv3d'
-                "pose_bev_fold": os.environ.get("BENCH_BEV_FOLD", "pallas"),
                 "merge_backprojection":
                     os.environ.get("BENCH_MERGE_BACKPROJ", "1") == "1"},
     })

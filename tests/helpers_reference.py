@@ -260,17 +260,23 @@ def map_vfnet_depth_params(ref_net, flax_params: dict, proj_d_bins: int,
 
 def map_vfnet_pose_params(ref_net, flax_params: dict, z_dim: int) -> dict:
     """Pose-mode VFNet weights. reduce_dim[0]'s input channels are the
-    z-into-channels fold: reference (c*z + zi) (volumetric_fusionnet.py:340),
-    this repo (zi*C + c) (models/vfnet.py bev_from_voxel)."""
+    z-into-channels fold: reference (c*z + zi) with the rel-depth channel
+    as feature index C-1 (volumetric_fusionnet.py:340); this repo's BEVFold
+    splits the same conv into a feature kernel ((zi, c) z-major order) and
+    a rel-depth partial kernel (channel partitioning of a conv is exact —
+    models/vfnet.py BEVFold)."""
     p = {k: dict(v) for k, v in flax_params.items()}
     w0 = _np(ref_net.reduce_dim[0].weight)      # [256, C*z, 3, 3], (c, zi)
     o, cz = w0.shape[:2]
-    c_in = cz // z_dim
-    w0 = w0.reshape(o, c_in, z_dim, 3, 3).transpose(0, 2, 1, 3, 4)
-    w0 = w0.reshape(o, cz, 3, 3)                # (zi, c) order
-    p["reduce_dim_0"] = {"Conv_0": {
-        "kernel": np.ascontiguousarray(w0.transpose(2, 3, 1, 0)),
-        "bias": _np(ref_net.reduce_dim[0].bias)}}
+    c_in = cz // z_dim                          # = gc + 1 (rel last)
+    gc = c_in - 1
+    wr = w0.reshape(o, c_in, z_dim, 3, 3)
+    w_feat = wr[:, :gc].transpose(0, 2, 1, 3, 4).reshape(o, z_dim * gc, 3, 3)
+    w_rel = wr[:, gc]                           # [o, z, 3, 3]
+    p["reduce_dim_0"] = {
+        "kernel": np.ascontiguousarray(w_feat.transpose(2, 3, 1, 0)),
+        "kernel_rel": np.ascontiguousarray(w_rel.transpose(2, 3, 1, 0)),
+        "bias": _np(ref_net.reduce_dim[0].bias)}
     p["reduce_dim_1"] = {"Conv_0": {
         "kernel": t2j_conv2d(ref_net.reduce_dim[3].weight),
         "bias": _np(ref_net.reduce_dim[3].bias)}}

@@ -41,11 +41,11 @@ def test_vfnet_valid_mask_geometry():
         [0, 0, 1, 0], [-1, 0, 0, 0], [0, -1, 0, 0], [0, 0, 0, 1]]]], np.float32))
     ext_inv = jnp.linalg.inv(ext)
     feat, valid, count = net.backproject_into_voxel(feats, mask, k, ext_inv)
-    valid = np.asarray(valid).reshape(4, 8, 8)  # [z, y, x]
+    valid = np.asarray(valid).reshape(8, 8, 4)  # [y, x, z] (z fastest)
     # voxels with world x <= 0 are behind the camera -> invalid
-    assert valid[:, :, :4].sum() == 0  # x in [-8, -2]
+    assert valid[:, :4].sum() == 0  # x in [-8, -2]
     # some voxels in front must be visible
-    assert valid[:, :, 5:].sum() > 0
+    assert valid[:, 5:].sum() > 0
 
 
 def test_pose_temporal_ordering():
@@ -316,75 +316,44 @@ def test_fast_reflect_conv_matches_padded(stride, h, w):
                                    rtol=1e-4, atol=1e-5)
 
 
-def test_bev_conv3d_matches_reshape_form():
-    """The transpose-free pose BEV fold (BEVReduce3D, z contracted as a
-    grouped-conv window with a shared tiled kernel) must compute the SAME
-    linear map as the reference 2D form (z reshaped into channels then a
-    3x3 stride-2 conv) under the exact weight relabeling
-    kernel3d[z,ky,kx,ci,o] == kernel2d[ky,kx,z*C+ci,o]."""
-    from vfdepth_tpu.models.vfnet import BEVReduce3D
-    from vfdepth_tpu.models.blocks import ConvBlock
-
-    b, vz, vy, vx, gc1, g, out = 1, 4, 8, 8, 5, 2, 7
-    rng = jax.random.PRNGKey(0)
-    # [b, n, G, gc+1] group-split voxel features
-    vf = jax.random.normal(jax.random.fold_in(rng, 1),
-                           (b, vz * vy * vx, g, gc1))
-
-    m3d = BEVReduce3D(out_ch=out, in_per_group=gc1, vz=vz, stride=2)
-    x3 = vf.reshape(b, vz, vy, vx, g * gc1)
-    v3 = m3d.init(rng, x3, groups=g)
-    y3 = m3d.apply(v3, x3, groups=g)            # [b, hy, hx, G, out]
-    y3 = jnp.moveaxis(y3, 3, 0).reshape((g * b, ) + y3.shape[1:3] + (out,))
-
-    # reference 2D form: [G*b, n, gc+1] -> [G*b, vy, vx, vz*(gc+1)]
-    m2d = ConvBlock(out, 3, stride=2, fast_pad=False)
-    k3 = v3["params"]["kernel"]                  # [vz,3,3,gc1,out]
-    k2 = jnp.transpose(k3, (1, 2, 0, 3, 4)).reshape(3, 3, vz * gc1, out)
-    v2 = {"params": {"Conv_0": {"kernel": k2,
-                                "bias": v3["params"]["bias"]}}}
-    vf_gm = jnp.moveaxis(vf, 2, 0).reshape(g * b, vz * vy * vx, gc1)
-    bev = vf_gm.reshape(g * b, vz, vy, vx, gc1)
-    bev = jnp.moveaxis(bev, 1, 3).reshape(g * b, vy, vx, vz * gc1)
-    y2 = m2d.apply(v2, bev)
-
-    np.testing.assert_allclose(np.asarray(y3), np.asarray(y2),
-                               rtol=1e-4, atol=1e-5)
-
-
-def test_bev_fold_pallas_matches_reshape_form():
-    """The Pallas BEV fold path (ops/fold_zc.py relayout + split-channel
-    conv, BEVReduceFold) must compute the SAME linear map as the reference
-    one-conv 2D form under the exact channel-partition weight mapping:
+def test_bev_fold_matches_reference_form():
+    """BEVFold (free z-fold on the (y,x,z) voxel order + grouped conv +
+    split rel-depth partial conv) must compute the SAME linear map as the
+    reference one-conv 2D form (z reshaped into channels then a 3x3
+    stride-2 conv) under the exact channel-partition weight mapping:
     k_main[.,., z*gc+ci, o] == k2[.,., z*(gc+1)+ci, o] (ci < gc) and
     k_rel[.,., z, o] == k2[.,., z*(gc+1)+gc, o]."""
-    from vfdepth_tpu.models.vfnet import BEVReduceFold
+    from vfdepth_tpu.models.vfnet import BEVFold
     from vfdepth_tpu.models.blocks import ConvBlock
 
-    b, vz, vy, vx, gc, g, out = 1, 4, 8, 8, 5, 2, 7
+    b, vz, vy, vx, gc, out = 1, 4, 8, 8, 5, 7
     n = vz * vy * vx
     rng = jax.random.PRNGKey(0)
-    vf = jax.random.normal(jax.random.fold_in(rng, 1), (b, n, g, gc + 1))
-    # the rel channel is SHARED across groups in the model
-    vf = vf.at[..., 1, -1].set(vf[..., 0, -1])
+    for g in (1, 2):
+        # [b, n(yxz-flat), G*gc + 1] with the shared rel channel last
+        vf = jax.random.normal(jax.random.fold_in(rng, g),
+                               (b, n, g * gc + 1))
+        mf = BEVFold(out_ch=out, gc=gc, vz=vz, vy=vy, vx=vx, stride=2)
+        vfold = mf.init(rng, vf, groups=g)
+        y_new = mf.apply(vfold, vf, groups=g)   # [G*b, hy, hx, out]
 
-    mf = BEVReduceFold(out_ch=out, gc=gc, vz=vz, stride=2)
-    main = vf[..., :-1].reshape(b, vz, vy, vx, g * gc)
-    rel = vf[..., 0, -1].reshape(b, vz, vy, vx)
-    vfold = mf.init(rng, main, rel, groups=g)
-    y_new = mf.apply(vfold, main, rel, groups=g)
+        # reference form: per group, fold z into channels ((z, c) major
+        # with rel at each z's last slot) and run ONE conv
+        km = vfold["params"]["kernel"].reshape(3, 3, vz, gc, out)
+        kr = vfold["params"]["kernel_rel"][:, :, :, None, :]
+        k2 = jnp.concatenate([km, kr], axis=3).reshape(
+            3, 3, vz * (gc + 1), out)
+        m2d = ConvBlock(out, 3, stride=2, fast_pad=False)
+        v2 = {"params": {"Conv_0": {"kernel": k2,
+                                    "bias": vfold["params"]["bias"]}}}
+        outs = []
+        for gi in range(g):
+            main_g = vf[..., gi * gc:(gi + 1) * gc].reshape(b, vy, vx, vz, gc)
+            rel_g = vf[..., -1].reshape(b, vy, vx, vz, 1)
+            bev = jnp.concatenate([main_g, rel_g], axis=-1).reshape(
+                b, vy, vx, vz * (gc + 1))
+            outs.append(m2d.apply(v2, bev))
+        y_old = jnp.concatenate(outs, axis=0)
 
-    # map (k_main, k_rel) into the single reference conv kernel
-    km = vfold["params"]["kernel"].reshape(3, 3, vz, gc, out)
-    kr = vfold["params"]["kernel_rel"][:, :, :, None, :]
-    k2 = jnp.concatenate([km, kr], axis=3).reshape(3, 3, vz * (gc + 1), out)
-    m2d = ConvBlock(out, 3, stride=2, fast_pad=False)
-    v2 = {"params": {"Conv_0": {"kernel": k2,
-                                "bias": vfold["params"]["bias"]}}}
-    vf_gm = jnp.moveaxis(vf, 2, 0).reshape(g * b, n, gc + 1)
-    bev = vf_gm.reshape(g * b, vz, vy, vx, gc + 1)
-    bev = jnp.moveaxis(bev, 1, 3).reshape(g * b, vy, vx, vz * (gc + 1))
-    y_old = m2d.apply(v2, bev)
-
-    np.testing.assert_allclose(np.asarray(y_new), np.asarray(y_old),
-                               rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(y_new), np.asarray(y_old),
+                                   rtol=1e-4, atol=1e-5)

@@ -56,9 +56,11 @@ def test_voxel_grid_layout():
     np.testing.assert_allclose(pts[:, 0], [-50.0, -50.0, -15.0, 1.0])
     # last voxel: end point = start + unit*(n-1)
     np.testing.assert_allclose(pts[:, -1], [49.0, 49.0, 13.5, 1.0])
-    # x varies fastest (flattened z, y, x row-major)
-    np.testing.assert_allclose(pts[:, 1], [-49.0, -50.0, -15.0, 1.0])
-    np.testing.assert_allclose(pts[:, 100], [-50.0, -49.0, -15.0, 1.0])
+    # z varies fastest (flattened y, x, z row-major — the internal order
+    # that makes the frustum-sampler/BEV relabelings free reshapes)
+    np.testing.assert_allclose(pts[:, 1], [-50.0, -50.0, -13.5, 1.0])
+    np.testing.assert_allclose(pts[:, 20], [-49.0, -50.0, -15.0, 1.0])
+    np.testing.assert_allclose(pts[:, 20 * 100], [-50.0, -49.0, -15.0, 1.0])
 
 
 def test_frustum_points_identity_extrinsics():

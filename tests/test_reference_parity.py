@@ -150,7 +150,7 @@ def _flax_vfnet(model: str):
         voxel_str_p=VOX_STR, voxel_unit_size=VOX_UNIT, voxel_size=VOX_SIZE,
         voxel_pre_dim=(PRE,), proj_d_bins=D_BINS, proj_d_str=2.0,
         proj_d_end=50.0, num_cams=CAMS, fusion_level=LEV, height=H, width=W,
-        sampler_2d="gather", sampler_3d="gather", bev_fold="transpose")
+        sampler_2d="gather", sampler_3d="gather")
 
 
 def _ref_vfnet(ref, model: str):

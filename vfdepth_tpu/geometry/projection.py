@@ -110,20 +110,28 @@ def project_coords_window(depth_box: jnp.ndarray, origin: jnp.ndarray,
 
 def voxel_points_homo(voxel_str_p: Sequence[float], voxel_unit_size: Sequence[float],
                       voxel_size: Sequence[int], dtype=jnp.float32) -> jnp.ndarray:
-    """Homogeneous world-frame voxel centers, [4, n_voxels] with n = z*y*x.
+    """Homogeneous world-frame voxel centers, [4, n_voxels] with n = y*x*z.
 
-    Layout matches reference ``create_voxel_grid`` (volumetric_fusionnet.py:67-80):
-    index order (z, y, x) flattened row-major; world axes x fwd / y left / z up.
+    Same voxel SET as reference ``create_voxel_grid``
+    (volumetric_fusionnet.py:67-80) — world axes x fwd / y left / z up —
+    but flattened in (y, x, z) index order (z fastest) instead of the
+    reference's (z, y, x). The flat order is an internal convention (every
+    consumer is order-agnostic per point); z-fastest makes BOTH hot
+    relabelings free reshapes: the frustum sampler's oct rows want
+    [y, x, z]-major rows (ops/sample3d_packed.py — the z-major order paid a
+    26 MB transpose each way), and the pose path's z-into-channels BEV fold
+    becomes ``reshape(b, vy, vx, vz*C)`` (the z-major order paid a 103M-
+    element transpose, which round 3 needed a Pallas relayout kernel for).
     """
     vx, vy, vz = voxel_size
     ends = [voxel_str_p[i] + voxel_unit_size[i] * (voxel_size[i] - 1) for i in range(3)]
     gx = jnp.linspace(voxel_str_p[0], ends[0], vx, dtype=dtype)
     gy = jnp.linspace(voxel_str_p[1], ends[1], vy, dtype=dtype)
     gz = jnp.linspace(voxel_str_p[2], ends[2], vz, dtype=dtype)
-    # broadcast to [z, y, x]
-    zz = jnp.broadcast_to(gz[:, None, None], (vz, vy, vx))
-    yy = jnp.broadcast_to(gy[None, :, None], (vz, vy, vx))
-    xx = jnp.broadcast_to(gx[None, None, :], (vz, vy, vx))
+    # broadcast to [y, x, z]
+    yy = jnp.broadcast_to(gy[:, None, None], (vy, vx, vz))
+    xx = jnp.broadcast_to(gx[None, :, None], (vy, vx, vz))
+    zz = jnp.broadcast_to(gz[None, None, :], (vy, vx, vz))
     n = vz * vy * vx
     pts = jnp.stack([xx.reshape(n), yy.reshape(n), zz.reshape(n),
                      jnp.ones((n,), dtype=dtype)], axis=0)

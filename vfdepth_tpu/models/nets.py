@@ -214,7 +214,6 @@ class FusedPoseNet(nn.Module):
     dtype: Any = None
     sampler_2d: str = "auto"
     sampler_3d: str = "packed"
-    bev_fold: str = "transpose"
 
     def setup(self):
         lev = self.fusion_level
@@ -239,7 +238,6 @@ class FusedPoseNet(nn.Module):
             dtype=self.dtype,
             sampler_2d=self.sampler_2d,
             sampler_3d=self.sampler_3d,
-            bev_fold=self.bev_fold,
             name="fusion_net",
         )
         self.pose_decoder = PoseDecoder(

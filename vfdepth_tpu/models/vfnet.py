@@ -16,9 +16,12 @@ TPU-first re-design of the reference ``VFNet``
     under XLA).
 
 Geometry conventions follow the reference exactly: world frame x-fwd/y-left/
-z-up, voxel volume [z, y, x] with x fastest, depth-bin frustum per camera,
-NDC normalization per world axis (:253-258), per-voxel validity =
-self-occlusion mask (nearest-sampled > 0.5) x (z > 0) x in-bounds (:183-195).
+z-up, depth-bin frustum per camera, NDC normalization per world axis
+(:253-258), per-voxel validity = self-occlusion mask (nearest-sampled > 0.5)
+x (z > 0) x in-bounds (:183-195). The voxel FLAT ORDER is internal and
+differs from the reference: (y, x, z) with z fastest (see
+geometry/projection.voxel_points_homo — it makes the frustum sampler's row
+layout and the pose BEV z-fold free reshapes).
 """
 from __future__ import annotations
 
@@ -34,81 +37,48 @@ from ..geometry.projection import voxel_points_homo, frustum_world_points
 from ..geometry.se3 import axis_angle_to_matrix
 from ..ops.grid_sample import grid_sample_2d, grid_sample_3d_nocoordgrad
 from ..ops.sample3d_packed import grid_sample_3d_packed
-from ..ops.fold_zc import fold_zc, fold_zc_supported
 from ..ops.resize import resize_bilinear
 
 
-class BEVReduce3D(nn.Module):
-    """Pose-path ``reduce_dim_0`` as a z-window 3D conv over the raw
-    ``[b, z, y, x, C]`` voxel volume (reference 2D form:
-    ``network/volumetric_fusionnet.py:54-56,338-343`` reshapes z into
-    channels first).
+class BEVFold(nn.Module):
+    """Pose-path ``reduce_dim_0``: z-into-channels fold + 3x3 stride-2 conv.
 
-    The math is identical — the z-into-channels fold is a fixed linear
-    relabeling the learned kernel absorbs (kernel
-    ``[vz, 3, 3, C, out] == reshape of [3, 3, vz*C, out]``, same fan-in,
-    same init distribution) — but expressing z as a fully-contracted conv
-    window means the input never needs the ``[b,z,y,x,C] -> [b,y,x,z*C]``
-    transpose, and frame groups ride a ``feature_group_count`` grouped conv
-    (kernel tiled along out-channels, so weights stay SHARED across groups
-    exactly like the reference's two separate passes through one conv)
-    instead of a ``[b,n,G,C] -> [G,b,n,C]`` transpose. Those two 102.8M-
-    element transposes lowered as chunked while-loops + update-slices
-    (~13 ms/step measured, docs/PERF.md round-3 profile).
-    """
-    out_ch: int
-    in_per_group: int
-    vz: int
-    stride: int = 2
-    dtype: Any = None
+    Same learned map as the reference 2D form (z reshaped into channels
+    then one conv, ``network/volumetric_fusionnet.py:54-56,338-343``),
+    restructured so NO large transpose exists:
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray, groups: int = 1,
-                 train: bool = True) -> jnp.ndarray:
-        """[b, vz, vy, vx, groups*in_per_group] -> [b, hy, hx, groups, out]
-        (group-major output channels, one shared kernel)."""
-        k = self.param("kernel", nn.initializers.lecun_normal(),
-                       (self.vz, 3, 3, self.in_per_group, self.out_ch))
-        bias = self.param("bias", nn.initializers.zeros, (self.out_ch,))
-        dt = self.dtype or x.dtype
-        xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)),
-                     mode="reflect")
-        wt = k.astype(dt)
-        if groups > 1:
-            wt = jnp.tile(wt, (1, 1, 1, 1, groups))
-        y = jax.lax.conv_general_dilated(
-            xp.astype(dt), wt, (1, self.stride, self.stride), "VALID",
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-            feature_group_count=groups)        # [b, 1, hy, hx, G*out]
-        y = y[:, 0] + jnp.tile(bias.astype(dt), (groups,))
-        y = nn.leaky_relu(y, negative_slope=0.1)
-        return y.reshape(y.shape[:-1] + (groups, self.out_ch))
+      * the voxel flat order is (y, x, z) (geometry/projection.
+        voxel_points_homo), so the z fold is a FREE reshape — the z-major
+        order paid a 103M-element transpose here, which round 3 needed a
+        Pallas relayout kernel (ops/fold_zc) to stream at HBM bandwidth;
+      * the shared rel-depth channel rides a separately-weighted partial
+        conv (channel partitioning of a conv is exact), computed once and
+        added to every frame group;
+      * frame groups are moved to a group-major BATCH with one transpose
+        whose inner 256-lane blocks stay contiguous, then ONE standard
+        conv shares the kernel across groups. (A feature_group_count
+        grouped conv avoided even that transpose but lowered with ~15 ms
+        of layout fusions around the grouped [.., G, vz*gc] operands —
+        the same XLA grouped/5D-conv penalty that sank the r3 conv3d
+        variant.)
 
-
-class BEVReduceFold(nn.Module):
-    """Pose-path ``reduce_dim_0``: Pallas-relayout fold + split-channel conv.
-
-    Same linear map as the reference 2D form (z reshaped into channels then
-    a 3x3 stride-2 conv, ``network/volumetric_fusionnet.py:54-56,338-343``),
-    with the two 103M-element transposes (frame-group -> batch, z -> channels)
-    done by ``ops/fold_zc.py`` at HBM bandwidth instead of XLA's while-loop
-    lowering, and the odd shared rel-depth channel handled as a separately-
-    weighted partial conv so the fold stays lane-aligned (channel
-    partitioning of a conv is exact). ``kernel`` covers the vz*gc folded
-    feature channels ((z, c) z-major order — a learned relabeling);
-    ``kernel_rel`` the vz rel-depth channels; one bias + LeakyReLU.
+    ``kernel`` covers the vz*gc folded feature channels ((z, c) z-major —
+    a learned relabeling); ``kernel_rel`` the vz rel-depth channels.
     """
     out_ch: int
     gc: int                      # feature channels per frame group (no rel)
     vz: int
+    vy: int
+    vx: int
     stride: int = 2
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, main: jnp.ndarray, rel: jnp.ndarray,
-                 groups: int = 1, train: bool = True) -> jnp.ndarray:
-        """main [b, vz, vy, vx, G*gc] ((G, gc) channel chunks);
-        rel [b, vz, vy, vx] -> [G*b, hy, hx, out_ch]."""
+    def __call__(self, voxel_feat: jnp.ndarray, groups: int = 1,
+                 train: bool = True) -> jnp.ndarray:
+        """voxel_feat [b, n((y,x,z)-flat), G*gc + 1] ((G, gc) channel
+        chunks + shared rel-depth last) -> [G*b, hy, hx, out_ch]
+        (group-major batch)."""
         k = self.param("kernel", nn.initializers.lecun_normal(),
                        (3, 3, self.vz * self.gc, self.out_ch))
         # rel weights: init with the JOINT conv's fan-in (3*3*(vz*gc+vz)),
@@ -120,13 +90,18 @@ class BEVReduceFold(nn.Module):
                 (3 * 3 * self.vz) / fan, "fan_in", "truncated_normal"),
             (3, 3, self.vz, self.out_ch))
         bias = self.param("bias", nn.initializers.zeros, (self.out_ch,))
-        dt = self.dtype or main.dtype
+        dt = self.dtype or voxel_feat.dtype
         s = (self.stride, self.stride)
+        b = voxel_feat.shape[0]
+        g, gc, vz = groups, self.gc, self.vz
 
-        mf = fold_zc(main.astype(dt), groups)    # [G*b, vy, vx, vz*gc]
-        rf = jnp.moveaxis(rel, 1, 3)             # [b, vy, vx, vz] (tiny)
-        rf = jnp.broadcast_to(rf[None], (groups,) + rf.shape)
-        rf = rf.reshape((groups * rel.shape[0],) + rf.shape[2:])
+        main = voxel_feat[..., :-1].reshape(b, self.vy, self.vx, vz, g, gc)
+        if g > 1:
+            # group-major batch: one transpose whose (vz, gc) inner blocks
+            # are contiguous 256-lane runs
+            main = jnp.transpose(main, (4, 0, 1, 2, 3, 5))
+        main = main.reshape(g * b, self.vy, self.vx, vz * gc)
+        rel = voxel_feat[..., -1].reshape(b, self.vy, self.vx, vz)
 
         def rconv(x, w):
             x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
@@ -134,7 +109,13 @@ class BEVReduceFold(nn.Module):
                 x.astype(dt), w.astype(dt), s, "VALID",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
-        y = rconv(mf, k) + rconv(rf, k_rel) + bias.astype(dt)
+        y = rconv(main, k)                         # [G*b, hy, hx, out]
+        yr = rconv(rel, k_rel) + bias.astype(dt)   # [b, hy, hx, out]
+        if g > 1:
+            y = y.reshape((g, b) + y.shape[1:]) + yr[None]
+            y = y.reshape((g * b,) + y.shape[2:])
+        else:
+            y = y + yr
         return nn.leaky_relu(y, negative_slope=0.1)
 
 
@@ -415,13 +396,6 @@ class VFNet(nn.Module):
     #   3D voxel->frustum: 'packed' (row-packed oct gather/scatter) | 'gather'
     sampler_2d: str = "auto"
     sampler_3d: str = "packed"
-    # pose mode BEV fold (tpu.pose_bev_fold): 'pallas' = ops/fold_zc.py
-    # relayout kernel + split-channel conv (BEVReduceFold, the TPU default);
-    # 'conv3d' = z-window grouped 3D conv (BEVReduce3D — measured -4% net:
-    # XLA's 5D grouped-conv layout copies outweigh the saved transposes);
-    # 'transpose' = the plain XLA moveaxis/reshape form.
-    bev_fold: str = "transpose"
-
     def setup(self):
         # submodules must be declared here (helper methods below use them)
         if self.model == "depth":
@@ -431,21 +405,13 @@ class VFNet(nn.Module):
             self.conv_overlap = [
                 PointwiseBlock(ch, dtype=self.dtype, name=f"conv_overlap_{j}")
                 for j, ch in enumerate(self.voxel_pre_dim)]
-        mode = self.bev_fold_mode
-        if mode == "conv3d":
-            vz = self.vol_dims[0]
-            self.reduce_dim_0 = BEVReduce3D(
-                out_ch=256, in_per_group=self.feat_in_dim + 1, vz=vz,
-                stride=2, dtype=self.dtype, name="reduce_dim_0")
-        elif mode == "pallas":
-            vz = self.vol_dims[0]
-            self.reduce_dim_0 = BEVReduceFold(
-                out_ch=256, gc=self.feat_in_dim, vz=vz,
-                stride=2, dtype=self.dtype, name="reduce_dim_0")
+            self.reduce_dim_0 = ConvBlock(256, 3, stride=1, dtype=self.dtype,
+                                          name="reduce_dim_0")
         else:
-            self.reduce_dim_0 = ConvBlock(
-                256, 3, stride=1 if self.model == "depth" else 2,
-                dtype=self.dtype, name="reduce_dim_0")
+            vz, vy, vx = self.vol_dims
+            self.reduce_dim_0 = BEVFold(
+                out_ch=256, gc=self.feat_in_dim, vz=vz, vy=vy, vx=vx,
+                stride=2, dtype=self.dtype, name="reduce_dim_0")
         self.reduce_dim_1 = ConvBlock(
             self.feat_out_dim, 3, stride=1 if self.model == "depth" else 2,
             dtype=self.dtype, name="reduce_dim_1")
@@ -463,16 +429,6 @@ class VFNet(nn.Module):
         """(z, y, x) counts."""
         vx, vy, vz = self.voxel_size
         return vz, vy, vx
-
-    @property
-    def bev_fold_mode(self) -> str:
-        """Effective pose-path BEV fold (setup and call sites must agree):
-        'pallas' needs a lane-aligned per-group feature width."""
-        if self.model != "pose":
-            return "transpose"
-        if self.bev_fold == "pallas" and not fold_zc_supported(self.feat_in_dim):
-            return "transpose"
-        return self.bev_fold
 
     def backproject_into_voxel(
         self,
@@ -619,7 +575,9 @@ class VFNet(nn.Module):
         b = voxel_feat.shape[0]
         vz, vy, vx = self.vol_dims
         c = voxel_feat.shape[-1]
-        vol = voxel_feat.reshape(b, vz, vy, vx, c)
+        # voxel flat order is (y, x, z) — the packed sampler's native row
+        # order, so this reshape is free (voxel_points_homo docstring)
+        vol = voxel_feat.reshape(b, vy, vx, vz, c)
         geo = jnp.float32  # sampling coordinates always f32
 
         bins = jnp.linspace(self.proj_d_str, self.proj_d_end, self.proj_d_bins,
@@ -650,9 +608,10 @@ class VFNet(nn.Module):
             gdt = "f32" if self.sampler_3d == "packed_f32grad" else "bf16"
             sampled = grid_sample_3d_packed(
                 vol, ndc_pm.reshape(b, -1, 3),
-                gdt).reshape(ndc_pm.shape[:-1] + (c,))
+                gdt, "yxz").reshape(ndc_pm.shape[:-1] + (c,))
         elif self.sampler_3d == "gather":
-            sampled = grid_sample_3d_nocoordgrad(vol, ndc_pm)  # [b, cams, P, d, C]
+            sampled = grid_sample_3d_nocoordgrad(
+                jnp.moveaxis(vol, 3, 1), ndc_pm)  # [b, cams, P, d, C]
         else:
             raise ValueError(f"unknown sampler_3d {self.sampler_3d!r}")
         # channel ordering is internal to the learned reduction convs so the
@@ -664,18 +623,6 @@ class VFNet(nn.Module):
         packed = self.reduce_dim_0(packed, train)
         packed = self.reduce_dim_1(packed, train)
         return unpack_cam_feat(packed, b, self.num_cams)
-
-    def bev_from_voxel(self, voxel_feat: jnp.ndarray, train: bool = True) -> jnp.ndarray:
-        """Pose path: collapse z into channels, reduce to a BEV feature
-        [b, y/4, x/4, feat_out_dim] (reference :54-56, :338-343)."""
-        b = voxel_feat.shape[0]
-        vz, vy, vx = self.vol_dims
-        c = voxel_feat.shape[-1]
-        bev = voxel_feat.reshape(b, vz, vy, vx, c)
-        bev = jnp.moveaxis(bev, 1, 3).reshape(b, vy, vx, vz * c)
-        bev = self.reduce_dim_0(bev, train)
-        bev = self.reduce_dim_1(bev, train)
-        return bev
 
     def __call__(
         self,
@@ -727,63 +674,15 @@ class VFNet(nn.Module):
                           frame_groups: int = 1,
                           grouped: bool = False) -> jnp.ndarray:
         """Pose branch after back-projection: visibility-weighted camera
-        mean (reference :160-162), frame-group split, BEV reduction.
+        mean (reference :160-162), then the BEVFold z-into-channels
+        reduction (frame groups handled inside it — see BEVFold).
 
         grouped: ``feat`` is [b, 2, n, C] camera-group sums — the all-camera
         sum is their sum (the groups partition the rig)."""
         total = feat[:, 0] + feat[:, 1] if grouped else jnp.sum(feat, axis=1)
         voxel_feat = total / (count[..., None] + 1e-7)
-        b_, n_ = voxel_feat.shape[:2]
-        g = frame_groups
-        gc = (voxel_feat.shape[-1] - 1) // g
-        vz, vy, vx = self.vol_dims
-        mode = self.bev_fold_mode
-        if mode == "pallas":
-            # Bandwidth fold (BEVReduceFold docstring): the feature
-            # channels [b, n, G*gc] relabel to [b, vz, vy, vx, G*gc] for
-            # free (voxel order is z-major) and the Pallas kernel does the
-            # group->batch / z->channel permutation; the shared rel-depth
-            # channel rides the separately-weighted partial conv.
-            main = voxel_feat[..., :-1].reshape(b_, vz, vy, vx, g * gc)
-            rel = voxel_feat[..., -1].reshape(b_, vz, vy, vx)
-            y = self.reduce_dim_0(main, rel, groups=g, train=train)
-            return self.reduce_dim_1(y, train)
-        if mode == "conv3d":
-            # Transpose-free fold (BEVReduce3D docstring): split channel
-            # groups in place [b, n, G, gc+1] (the shared rel-depth channel
-            # broadcasts into each group), reshape n -> (z, y, x) — a pure
-            # relabeling, the voxel order is z-major — and contract z as
-            # the conv window. Only the tiny [b, hy, hx, G, 256] output is
-            # reordered to the group-major batch layout reduce_dim_1 uses.
-            if g > 1:
-                rel = voxel_feat[..., -1:]
-                main = voxel_feat[..., :-1].reshape(b_, n_, g, gc)
-                relb = jnp.broadcast_to(rel[..., None, :], (b_, n_, g, 1))
-                vf = jnp.concatenate([main, relb], axis=-1)
-            else:
-                vf = voxel_feat[:, :, None, :]
-            x = vf.reshape(b_, vz, vy, vx, g * (gc + 1))
-            y = self.reduce_dim_0(x, groups=g, train=train)
-            y = jnp.moveaxis(y, 3, 0)  # [G, b, hy, hx, 256] (tiny)
-            y = y.reshape((g * b_,) + y.shape[2:])
-            return self.reduce_dim_1(y, train)
-        if frame_groups > 1:
-            # split the channel groups back out; the appended rel-depth
-            # channel (last) is shared geometry, each group gets a copy.
-            # Expressed as reshape + one [b, n, G, gc+1] -> [G, b, n, gc+1]
-            # transpose: the per-group slice+concat form made XLA
-            # materialize a channel-major [G, C, n] copy via a while loop
-            # (~5 ms at DDAD shapes).
-            b_, n_ = voxel_feat.shape[:2]
-            gc = (voxel_feat.shape[-1] - 1) // frame_groups
-            rel = voxel_feat[..., -1:]
-            main = voxel_feat[..., :-1].reshape(b_, n_, frame_groups, gc)
-            relb = jnp.broadcast_to(rel[..., None, :],
-                                    (b_, n_, frame_groups, 1))
-            vf = jnp.concatenate([main, relb], axis=-1)
-            voxel_feat = jnp.moveaxis(vf, 2, 0).reshape(
-                frame_groups * b_, n_, gc + 1)  # [G*b, n, C+1] group-major
-        return self.bev_from_voxel(voxel_feat, train)
+        y = self.reduce_dim_0(voxel_feat, groups=frame_groups, train=train)
+        return self.reduce_dim_1(y, train)
 
 
 def augment_extrinsics(rng: jax.Array, extrinsics: jnp.ndarray,

@@ -88,11 +88,13 @@ def _kernel_tap_weights(coords, d: int, h: int, w: int):
     wx0, wx1 = _kernel_axis_weights(x, w)
     wy0, wy1 = _kernel_axis_weights(y, h)
     wz0, wz1 = _kernel_axis_weights(z, d)
-    # tap order must match _build_oct: (dy, dx, dz) with dz fastest
-    return (wy0 * wx0 * wz0, wy0 * wx0 * wz1,
-            wy0 * wx1 * wz0, wy0 * wx1 * wz1,
-            wy1 * wx0 * wz0, wy1 * wx0 * wz1,
-            wy1 * wx1 * wz0, wy1 * wx1 * wz1)
+    # tap order must match _build_oct / _TAPS: (dz, dx, dy) bit order with
+    # dy FASTEST and dz SLOWEST — each backward fold stage then halves a
+    # lane-aligned channel block (see _packed_bwd)
+    return (wz0 * wx0 * wy0, wz0 * wx0 * wy1,
+            wz0 * wx1 * wy0, wz0 * wx1 * wy1,
+            wz1 * wx0 * wy0, wz1 * wx0 * wy1,
+            wz1 * wx1 * wy0, wz1 * wx1 * wy1)
 
 
 def _combine_kernel(c: int, d: int, h: int, w: int, rows_ref, crd_ref,
@@ -217,7 +219,10 @@ def _shift_fwd(a: jnp.ndarray, axis: int, delta: int) -> jnp.ndarray:
     return jnp.pad(a[tuple(sl)], pad)
 
 
-_TAPS = [(dy, dx, dz) for dy in (0, 1) for dx in (0, 1) for dz in (0, 1)]
+# tap index bit order: dy fastest, dx middle, dz slowest — so the backward
+# fold can halve the [.., 8C] channel block axis-by-axis with every slice
+# lane-aligned down to 2C (see _packed_bwd)
+_TAPS = [(dy, dx, dz) for dz in (0, 1) for dx in (0, 1) for dy in (0, 1)]
 
 # Backward scatter update dtype. The oct scatter reads its update rows once
 # and accumulates ~6 collisions per voxel; bf16 updates halve the dominant
@@ -230,7 +235,7 @@ _GRAD_DTYPES = {"bf16": jnp.bfloat16, "f32": jnp.float32}
 
 def _build_oct(vol_t: jnp.ndarray) -> jnp.ndarray:
     """vol_t [B, H, W, D, C] -> [B, H*W*D, 8*C] with the 8 shifted copies
-    stacked along channels (tap order = _TAPS, dz fastest)."""
+    stacked along channels (tap order = _TAPS, dy fastest / dz slowest)."""
     b, h, w, d, c = vol_t.shape
     # one zero-padded copy + 8 static slices: a single concat fusion writes
     # the oct layout in one pass (the stack-of-shifts form compiled to a
@@ -242,26 +247,36 @@ def _build_oct(vol_t: jnp.ndarray) -> jnp.ndarray:
     return oct.reshape(b, h * w * d, 8 * c)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def grid_sample_3d_packed(vol: jnp.ndarray, coords: jnp.ndarray,
-                          grad_dtype: str = "bf16") -> jnp.ndarray:
+                          grad_dtype: str = "bf16",
+                          vol_layout: str = "zyx") -> jnp.ndarray:
     """Trilinear sample (zeros padding, align_corners) with packed rows.
 
-    vol: [B, D, H, W, C] (D = z, H = y, W = x — torch 3D grid_sample layout).
+    vol: [B, D, H, W, C] (D = z, H = y, W = x — torch 3D grid_sample layout)
+    for vol_layout="zyx", or [B, H, W, D, C] for vol_layout="yxz" — the
+    kernel's native row order, which skips the 26 MB transpose on BOTH
+    sides (the voxel pipeline stores its volume z-fastest for exactly this;
+    geometry/projection.voxel_points_homo).
     coords: [B, *pts, 3] with last dim (x, y, z) in [-1, 1].
     grad_dtype: "bf16" (default; halves the backward scatter's update
     stream) or "f32" (exact accumulation) — see _GRAD_DTYPES.
     Returns [B, *pts, C]. Gradient flows to vol only (coords are constants
     in the voxel->frustum reprojection).
     """
-    return _packed_fwd_impl(vol, coords)
+    return _packed_fwd_impl(vol, coords, vol_layout)
 
 
-def _packed_fwd_impl(vol, coords):
-    b, d, h, w, c = vol.shape
+def _packed_fwd_impl(vol, coords, vol_layout):
+    if vol_layout == "zyx":
+        b, d, h, w, c = vol.shape
+        vol_t = jnp.moveaxis(vol, 1, 3)  # [B, H, W, D, C]
+    else:
+        assert vol_layout == "yxz", vol_layout
+        b, h, w, d, c = vol.shape
+        vol_t = vol
     pts_shape = coords.shape[1:-1]
     coords_flat = coords.reshape(b, -1, 3)
-    vol_t = jnp.moveaxis(vol, 1, 3)  # [B, H, W, D, C]
     oct = _build_oct(vol_t)
     idx = _tap_index(coords_flat, d, h, w)
     # bases clamp per-axis to [0, size-2] so the flat index is always in
@@ -276,14 +291,17 @@ def _packed_fwd_impl(vol, coords):
     return out.reshape((b,) + pts_shape + (c,))
 
 
-def _packed_fwd(vol, coords, grad_dtype):
+def _packed_fwd(vol, coords, grad_dtype, vol_layout):
     # (custom_vjp fwd gets args in original order; bwd gets nondiff first)
-    return _packed_fwd_impl(vol, coords), (coords, vol.shape)
+    return _packed_fwd_impl(vol, coords, vol_layout), (coords, vol.shape)
 
 
-def _packed_bwd(grad_dtype, res, g):
+def _packed_bwd(grad_dtype, vol_layout, res, g):
     coords, vol_shape = res
-    b, d, h, w, c = vol_shape
+    if vol_layout == "zyx":
+        b, d, h, w, c = vol_shape
+    else:
+        b, h, w, d, c = vol_shape
     acc_dtype = _GRAD_DTYPES[grad_dtype]
     coords_flat = coords.reshape(b, -1, 3)
     n = coords_flat.shape[1]
@@ -296,16 +314,24 @@ def _packed_bwd(grad_dtype, res, g):
     updates = _build_updates(g_flat, coords_flat, c, d, h, w, acc_dtype)
     acc = jnp.zeros((b, h * w * d, 8 * c), acc_dtype)
     acc = jax.vmap(lambda a, i, u: a.at[i].add(u))(acc, idx, updates)
-    acc = acc.reshape(b, h, w, d, 8, c)
-    # fold the 8 tap planes back into vol layout with dense shift-adds
-    # (f32 accumulation; the per-part promote fuses into the adds)
-    dvol_t = jnp.zeros((b, h, w, d, c), jnp.float32)
-    for t, (dy, dx, dz) in enumerate(_TAPS):
-        part = acc[:, :, :, :, t, :].astype(jnp.float32)
-        dvol_t = dvol_t + _shift_fwd(_shift_fwd(_shift_fwd(
-            part, 3, dz), 2, dx), 1, dy)
-    dvol = jnp.moveaxis(dvol_t, 3, 1).astype(g.dtype)
-    return dvol, jnp.zeros_like(coords)
+    acc = acc.reshape(b, h, w, d, 8 * c)
+    # fold the 8 tap planes back into vol layout one AXIS at a time,
+    # halving the channel block per stage (f32 accumulation). The _TAPS
+    # bit order (dy fastest, dz slowest) makes every stage's two slices
+    # contiguous and lane-aligned down to 2C; the per-tap form sliced
+    # C=64-wide blocks that TPU tiling padded out to 128 lanes, doubling
+    # every stream (~6 ms/step at DDAD shapes).
+    def fold_axis(a, axis, half_c):
+        lo = a[..., :half_c].astype(jnp.float32)
+        hi = _shift_fwd(a[..., half_c:], axis, 1).astype(jnp.float32)
+        return lo + hi
+
+    x4 = fold_axis(acc, 3, 4 * c)    # fold dz (the d axis)
+    x2 = fold_axis(x4, 2, 2 * c)     # fold dx
+    dvol_t = fold_axis(x2, 1, c)     # fold dy
+    if vol_layout == "zyx":
+        dvol_t = jnp.moveaxis(dvol_t, 3, 1)
+    return dvol_t.astype(g.dtype), jnp.zeros_like(coords)
 
 
 grid_sample_3d_packed.defvjp(_packed_fwd, _packed_bwd)

@@ -235,11 +235,6 @@ class VFDepthModel:
                 num_layers=cfg.num_layers,
                 fusion_feat_in_dim=cfg.fusion_feat_in_dim,
                 dtype=self.compute_dtype,
-                # pose BEV fold: 'pallas' = bandwidth relayout kernel
-                # (ops/fold_zc.py), 'transpose' = plain XLA moveaxis,
-                # 'conv3d' = z-window grouped conv (measured slower);
-                # see models/vfnet.py VFNet.bev_fold
-                bev_fold=str(cfg.get("pose_bev_fold", "pallas")),
                 **{k: v for k, v in vox_kwargs.items()},
             )
         else:
