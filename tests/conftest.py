@@ -27,7 +27,7 @@ _cache_dir = os.environ.get("VFDEPTH_TEST_CACHE",
                             "/tmp/vfdepth_test_jit_cache")
 try:
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 except Exception:  # older jax without the knobs: run uncached
     pass

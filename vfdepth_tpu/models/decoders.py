@@ -35,14 +35,44 @@ class FusionDepthDecoder(nn.Module):
     scales: Sequence[int] = (0,)
     use_skips: bool = False
     dtype: Any = None
+    # Compute the FINAL level (upsample -> 16-ch conv -> disp conv) in
+    # phase (sub-pixel) space at half resolution: a full-res [N, H, W, 16]
+    # bf16 tensor pads its 16-lane minor dim to 128 under TPU tiling (~8x
+    # HBM), costing ~10 ms/step of pad/layout chaff at DDAD shapes. The
+    # phase rewrite is EXACT at f32 incl. the reflect borders
+    # (ops/subpixel.py; equality test-guarded) and uses the SAME params.
+    # Level 0 never concatenates a skip (the i > 0 guard below), so the
+    # rewrite applies regardless of use_skips.
+    phase_final: bool = True
 
     @nn.compact
     def __call__(self, input_features: List[jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        from ..ops.subpixel import (phase_upsample_conv3x3, phase_conv3x3,
+                                    depth_to_space)
+
         outputs = {}
         x = input_features[-1]
         for i in range(self.level_in, -1, -1):
             x = ConvBlock(self.num_ch_dec[i], 3, nonlin="ELU", dtype=self.dtype,
                           name=f"upconv_{i}_0")(x)
+            if i == 0 and self.phase_final:
+                up1 = ConvBlock(self.num_ch_dec[0], 3, nonlin="ELU",
+                                dtype=self.dtype, name="upconv_0_1")
+                _ = up1(x[:, :2, :2, :])     # bind params (result DCE'd)
+                k1 = up1.variables["params"]["Conv_0"]["kernel"]
+                b1 = up1.variables["params"]["Conv_0"]["bias"]
+                p = nn.elu(phase_upsample_conv3x3(x, k1, b1,
+                                                  dtype=self.dtype))
+                if 0 in self.scales:
+                    dc = ConvBlock(1, 3, nonlin=None, dtype=self.dtype,
+                                   name="dispconv_0")
+                    _ = dc(jnp.zeros((1, 2, 2, p.shape[-1]), p.dtype))
+                    k2 = dc.variables["params"]["Conv_0"]["kernel"]
+                    b2 = dc.variables["params"]["Conv_0"]["bias"]
+                    dp = phase_conv3x3(p, k2, b2, dtype=self.dtype)
+                    outputs["disp/0"] = nn.sigmoid(
+                        depth_to_space(dp).astype(jnp.float32))
+                continue
             x = upsample2x_nearest(x)
             if self.use_skips and i > 0:
                 x = jnp.concatenate([x, input_features[i - 1]], axis=-1)
