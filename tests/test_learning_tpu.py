@@ -79,13 +79,15 @@ def _run_cold_start(speed: float, n: int, stopped_every: int = 0):
     > 0 interleaves one ZERO-motion sample per that many moving ones (a
     stopped-vehicle segment — common in DDAD/nuScenes).
 
-    The staged schedule uses the VALIDATED absolute lengths (warmup 600 /
-    ramp 600 — docs/PERF.md "Learning validation"); scaling them down with
-    n looked equivalent but is not: the temporal-only warmup needs enough
-    Adam steps to pull depth off the random init before the overlap terms
-    ramp in, and at warmup 200 the run collapses into the max-depth basin
-    (measured 0.84 -> 3.4 abs_rel at n=600 — also on the round-3 code, so
-    the short-schedule guard never actually held)."""
+    These tests run at the VALIDATED probe regime — 192x320, 8 samples,
+    warmup 600 / ramp 600 (docs/PERF.md "Learning validation"). The
+    previous 96x160/4-sample/short-schedule regime sat on a knife edge:
+    round-3 code passed it and round-4 code collapsed into the max-depth
+    basin (0.84 -> 3.4 abs_rel) even though a cross-version gradient diff
+    on identical weights showed only fp-level drift (worst leaf 1.4e-6
+    absolute) — i.e. the reduced regime's outcome flips on fp noise and
+    guards nothing. The validated regime is what the from-scratch claim
+    rests on, so it is what the test runs (~15-20 min/variant on v5e)."""
     from vfdepth_tpu.presets import build_config
     from vfdepth_tpu.data.synthetic_scene import SyntheticSceneDataset
     from vfdepth_tpu.training.model import VFDepthModel
@@ -93,14 +95,15 @@ def _run_cold_start(speed: float, n: int, stopped_every: int = 0):
                                            create_train_state)
     from vfdepth_tpu.utils.metrics import compute_depth_metrics
 
-    h, w = 96, 160
+    h = int(os.environ.get("LEARN_TEST_CS_H", "192"))
+    w = int(os.environ.get("LEARN_TEST_CS_W", "320"))
     cfg = build_config(height=h, width=w, batch_size=1, mixed_precision=True,
                        learning_rate=2e-4, max_depth=80.0, eval_max_depth=80)
     cfg.set("cold_start_warmup_steps", min(600, n // 3), section="training")
     cfg.set("cold_start_ramp_steps", min(600, n // 3), section="training")
     model = VFDepthModel(cfg)
 
-    ds = SyntheticSceneDataset(num_samples=4, num_cams=6, height=h, width=w,
+    ds = SyntheticSceneDataset(num_samples=8, num_cams=6, height=h, width=w,
                                fusion_level=2, speed=speed)
     batches = [{k: jnp.asarray(v) for k, v in ds.batch([i]).items()}
                for i in range(len(ds))]
@@ -144,7 +147,7 @@ def test_cold_start_joint_training_improves_depth():
     This is the in-environment path to accuracy parity without ImageNet
     weights (VERDICT r2 #2); without the recipe this run collapses to max
     depth (docs/PERF.md "Learning validation")."""
-    n = int(os.environ.get("LEARN_TEST_CS_STEPS", "1800"))
+    n = int(os.environ.get("LEARN_TEST_CS_STEPS", "2400"))
     before, after = _run_cold_start(0.5, n)
     assert np.isfinite(after)
     # joint training must not collapse (collapse lands ~1.0+ as depth
@@ -163,7 +166,7 @@ def test_cold_start_speed_robustness(speed):
     Note 1.5 m/frame sits ABOVE the pose-prior ceiling (1.0 m): the fading
     hinge must not prevent the photometric gradient from reaching the true
     scale (VERDICT r3 weak #3)."""
-    n = int(os.environ.get("LEARN_TEST_CS_STEPS", "1800"))
+    n = int(os.environ.get("LEARN_TEST_CS_STEPS", "2400"))
     before, after = _run_cold_start(speed, n)
     assert np.isfinite(after)
     assert after < 0.6 * before, (
@@ -176,7 +179,7 @@ def test_cold_start_with_stopped_frames():
     derail the recipe: stopped frames carry no temporal-parallax signal and
     their identity warps fight the pose-magnitude floor — both effects must
     wash out against the moving majority."""
-    n = int(os.environ.get("LEARN_TEST_CS_STEPS", "1800"))
+    n = int(os.environ.get("LEARN_TEST_CS_STEPS", "2400"))
     before, after = _run_cold_start(0.5, n, stopped_every=3)
     assert np.isfinite(after)
     assert after < 0.6 * before, (

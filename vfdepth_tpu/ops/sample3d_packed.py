@@ -97,8 +97,8 @@ def _kernel_tap_weights(coords, d: int, h: int, w: int):
             wz1 * wx1 * wy0, wz1 * wx1 * wy1)
 
 
-def _combine_kernel(c: int, d: int, h: int, w: int, rows_ref, crd_ref,
-                    out_ref):
+def _combine_kernel(c: int, d: int, h: int, w: int, blk: int, rows_ref,
+                    crd_ref, out_ref):
     """rows [blk, 8C] bf16, crd [blk, 3] f32 -> out [blk, C] (one pass)."""
     def body(k, _):
         sl = pl.ds(k * _ROWS_SUB, _ROWS_SUB)
@@ -110,7 +110,7 @@ def _combine_kernel(c: int, d: int, h: int, w: int, rows_ref, crd_ref,
         out_ref[sl, :] = acc.astype(out_ref.dtype)
         return 0
 
-    jax.lax.fori_loop(0, _ROWS_BLK // _ROWS_SUB, body, 0)
+    jax.lax.fori_loop(0, blk // _ROWS_SUB, body, 0)
 
 
 def _combine_taps(rows: jnp.ndarray, coords: jnp.ndarray, c: int,
@@ -123,23 +123,27 @@ def _combine_taps(rows: jnp.ndarray, coords: jnp.ndarray, c: int,
     DDAD shapes); this kernel reads it exactly once.
     """
     b, n, _ = rows.shape
+    # f32 rows double the VMEM block; halve the row block to stay inside
+    # the 16 MB scoped limit (observed compile-time OOM at 8C=512 f32)
+    blk = _ROWS_BLK // 2 if rows.dtype == jnp.float32 else _ROWS_BLK
     return pl.pallas_call(
-        functools.partial(_combine_kernel, c, d, h, w),
-        grid=(b, -(-n // _ROWS_BLK)),
+        functools.partial(_combine_kernel, c, d, h, w, blk),
+        grid=(b, -(-n // blk)),
         in_specs=[
-            pl.BlockSpec((None, _ROWS_BLK, 8 * c), lambda i, j: (i, j, 0),
+            pl.BlockSpec((None, blk, 8 * c), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, _ROWS_BLK, 3), lambda i, j: (i, j, 0),
+            pl.BlockSpec((None, blk, 3), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((None, _ROWS_BLK, c), lambda i, j: (i, j, 0),
+        out_specs=pl.BlockSpec((None, blk, c), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n, c), rows.dtype),
         interpret=(jax.default_backend() != "tpu"),
     )(rows, coords.astype(jnp.float32))
 
 
-def _updates_kernel(c: int, d: int, h: int, w: int, g_ref, crd_ref, out_ref):
+def _updates_kernel(c: int, d: int, h: int, w: int, blk: int, g_ref, crd_ref,
+                    out_ref):
     """g [blk, C], crd [blk, 3] f32 -> updates [blk, 8C] (one pass)."""
     def body(k, _):
         sl = pl.ds(k * _ROWS_SUB, _ROWS_SUB)
@@ -150,7 +154,7 @@ def _updates_kernel(c: int, d: int, h: int, w: int, g_ref, crd_ref, out_ref):
                 out_ref.dtype)
         return 0
 
-    jax.lax.fori_loop(0, _ROWS_BLK // _ROWS_SUB, body, 0)
+    jax.lax.fori_loop(0, blk // _ROWS_SUB, body, 0)
 
 
 def _build_updates(g: jnp.ndarray, coords: jnp.ndarray, c: int,
@@ -161,16 +165,17 @@ def _build_updates(g: jnp.ndarray, coords: jnp.ndarray, c: int,
     The concat-of-products form spent two extra passes over the [N, 8C]
     stream (~8 ms/step at DDAD shapes f32, ~5 ms bf16)."""
     b, n, _ = g.shape
+    blk = _ROWS_BLK // 2 if out_dtype == jnp.float32 else _ROWS_BLK
     return pl.pallas_call(
-        functools.partial(_updates_kernel, c, d, h, w),
-        grid=(b, -(-n // _ROWS_BLK)),
+        functools.partial(_updates_kernel, c, d, h, w, blk),
+        grid=(b, -(-n // blk)),
         in_specs=[
-            pl.BlockSpec((None, _ROWS_BLK, c), lambda i, j: (i, j, 0),
+            pl.BlockSpec((None, blk, c), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, _ROWS_BLK, 3), lambda i, j: (i, j, 0),
+            pl.BlockSpec((None, blk, 3), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((None, _ROWS_BLK, 8 * c), lambda i, j: (i, j, 0),
+        out_specs=pl.BlockSpec((None, blk, 8 * c), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n, 8 * c), out_dtype),
         interpret=(jax.default_backend() != "tpu"),
