@@ -67,10 +67,12 @@ class LossConfig(NamedTuple):
     #     translation magnitude — the zero-pose basin (identity warp has
     #     zero photometric loss for ANY depth) is a global minimum the
     #     0.01-scaled random pose head starts inside of;
-    #   * disp_anchor: (mean sigmoid-disp - 0.5)^2 — with tiny pose, larger
-    #     depth always shrinks the flow toward identity, a systematic
-    #     downward pressure that saturates the sigmoid (dead gradients at
-    #     max depth) within ~100 steps.
+    #   * disp_anchor: (mean log sigmoid-disp - log 0.5)^2 — with tiny
+    #     pose, larger depth always shrinks the flow toward identity, a
+    #     systematic downward pressure that saturates the sigmoid within
+    #     ~100 steps. LOG space matters: the linear anchor's gradient dies
+    #     with sigmoid' exactly at the saturation it exists to prevent
+    #     (see the inline note at the prior computation).
     # Both vanish with the schedule, leaving the reference objective exact.
     pose_prior_coeff: float = 1.0
     pose_prior_floor: float = 0.1
@@ -322,7 +324,17 @@ def total_loss(
         # leaves the image, all gradients die) is above the ceiling
         pose_prior = (jax.nn.relu(cfg.pose_prior_floor - t_norm)
                       + jax.nn.relu(t_norm - cfg.pose_prior_ceil))
-        disp_anchor = (disps[0].astype(jnp.float32).mean() - 0.5) ** 2
+        # LOG-space anchor: the linear form (mean disp - 0.5)^2 loses its
+        # gradient exactly when it is needed — once the sigmoid saturates
+        # toward max depth (disp -> 0), d(anchor)/d(logit) ~ sigmoid'(x)
+        # -> 0, and the run freezes in the dead basin (observed: depth
+        # metrics frozen from step ~200 of the warmup). In log space the
+        # 1/disp factor cancels the dying sigmoid': d/d(logit) ~
+        # disp*(1-disp)/disp = 1-disp stays O(1) at saturation. Mean of
+        # logs (not log of mean): concavity penalizes saturated POCKETS
+        # even when the mean looks healthy.
+        disp_anchor = (jnp.log(disps[0].astype(jnp.float32) + 1e-3).mean()
+                       - jnp.log(0.5)) ** 2
         prior = prior_scale * (cfg.pose_prior_coeff * pose_prior
                                + cfg.disp_anchor_coeff * disp_anchor)
         total = total + prior.astype(total.dtype)
