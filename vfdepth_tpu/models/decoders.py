@@ -38,12 +38,16 @@ class FusionDepthDecoder(nn.Module):
     # Compute the FINAL level (upsample -> 16-ch conv -> disp conv) in
     # phase (sub-pixel) space at half resolution: a full-res [N, H, W, 16]
     # bf16 tensor pads its 16-lane minor dim to 128 under TPU tiling (~8x
-    # HBM), costing ~10 ms/step of pad/layout chaff at DDAD shapes. The
-    # phase rewrite is EXACT at f32 incl. the reflect borders
-    # (ops/subpixel.py; equality test-guarded) and uses the SAME params.
+    # HBM). The phase rewrite is EXACT at f32 incl. the reflect borders
+    # (ops/subpixel.py; equality test-guarded) and uses the SAME params —
+    # but MEASURED SLOWER in-model on v5e (3.49 -> 3.10 framesets/s,
+    # +36 ms/step: the four 2x2-conv phase branches and their backward
+    # kernel-gradient fusions cost more than the lane-padded chaff they
+    # remove). Kept off by default as the measured record; the
+    # implementation stays for narrower-lane future shapes.
     # Level 0 never concatenates a skip (the i > 0 guard below), so the
     # rewrite applies regardless of use_skips.
-    phase_final: bool = True
+    phase_final: bool = False
 
     @nn.compact
     def __call__(self, input_features: List[jnp.ndarray]) -> Dict[str, jnp.ndarray]:
