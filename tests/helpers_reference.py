@@ -126,6 +126,7 @@ def load_reference():
         loss_util=importlib.import_module("_refloss.loss_util"),
         single_cam_loss=importlib.import_module("_refloss.single_cam_loss"),
         multi_cam_loss=importlib.import_module("_refloss.multi_cam_loss"),
+        depth_syn_loss=importlib.import_module("_refloss.depth_synthesis_loss"),
     )
     _CACHE["ns"] = ns
     return ns
@@ -204,6 +205,9 @@ def ref_cfg(num_cams=6, height=64, width=96, batch_size=1,
             "spatio_coeff": spatio_coeff,
             "spatio_tempo_coeff": spatio_tempo_coeff,
             "pose_loss_coeff": pose_loss_coeff,
+            # depth-synthesis coefficients (ddad_surround_fusion_augdepth.yaml:78-79)
+            "depth_con_coeff": 0.03,
+            "depth_sm_coeff": 0.05,
         },
         "eval": {"syn_visualize": syn_visualize},
     }

@@ -136,7 +136,10 @@ def _run_cold_start(speed: float, n: int, stopped_every: int = 0):
         # the ramp is driven by state.step inside the compiled step
         state, logs = step(state, batches[i % len(batches)], rng)
     jax.block_until_ready(logs["total_loss"])
-    return before, abs_rel(state)
+    after = abs_rel(state)
+    print(f"[cold-start] speed={speed} stopped_every={stopped_every} "
+          f"n={n}: abs_rel {before:.4f} -> {after:.4f}", flush=True)
+    return before, after
 
 
 @pytest.mark.slow

@@ -262,17 +262,24 @@ def _round_up(x: int, m: int) -> int:
     return min(int(-(-x // m) * m), 1 << 30)
 
 
-def st_actual_hw(spatio_hw, height: int, width: int, pad_w: int = 64):
+def st_actual_hw(spatio_hw, height: int, width: int, pad_w: int = 64,
+                 pad_h: int = 16):
     """Static box sizes for the actual-depth ST mode.
 
     Slot 0 (finite in-image) is the rig's no-motion interval near-slot
     widened by a motion-parallax pad: egomotion |t| at typical depth d
     shifts projections by ~fx*|t|/d (measured <= ~60 px at 1.5 m/frame on
     the nuScenes-geometry rig; the overflow flag + trainer dense fallback
-    cover faster segments). Slot 1 (non-finite coords -> dense value 2.0)
-    is a measure-zero set, minimally boxed."""
+    cover faster segments). The dominant parallax is horizontal (forward
+    translation on a mostly-planar rig), but pitch/bumps and the radial
+    component of forward flow shift projections VERTICALLY too, so the
+    height gets its own smaller pad (``pad_h``, config
+    ``tpu.st_window_pad_v``) rather than relying solely on the overflow
+    fallback for row-direction excursions. Slot 1 (non-finite coords ->
+    dense value 2.0) is a measure-zero set, minimally boxed."""
     (h0, w0), _ = spatio_hw
-    slot0 = (h0, min(_round_up(w0 + pad_w, 64), width))
+    slot0 = (min(_round_up(h0 + pad_h, 16), height),
+             min(_round_up(w0 + pad_w, 64), width))
     slot1 = (min(16, height), min(64, width))
     return slot0, slot1
 

@@ -71,7 +71,8 @@ def _kernel_axis_weights(coord, size: int):
 
 def _kernel_tap_weights(coords, d: int, h: int, w: int):
     """In-kernel mirror of ``_tap_index_weights``'s weight half on a
-    [sub, 3] f32 block -> eight [sub, 1] tap weights (z fastest).
+    [sub, 3] f32 block -> eight [sub, 1] tap weights (dy fastest /
+    dz slowest, matching ``_TAPS`` / ``_build_oct``).
 
     Computing the weights where they are consumed kills ~20 ms/step of
     lane-padded HBM streams at DDAD shapes: the caller-side build wrote

@@ -97,7 +97,6 @@ def phase_conv3x3(phases: jnp.ndarray, kernel: jnp.ndarray,
             kq = jnp.zeros((2, 2, 4, c, cout), kernel.dtype)
             for ui, u in enumerate((-1, 0, 1)):
                 py = (pyp + u) % 2
-                dy = (pyp + u) // 2 - (pyp + u - (pyp + u) % 2) // 2  # 0
                 dy = (pyp + u - py) // 2   # half-res offset in {-1, 0, 1}
                 for vi, v in enumerate((-1, 0, 1)):
                     px = (pxp + v) % 2

@@ -70,7 +70,24 @@ def load_checkpoint(load_dir: str, state: TrainState,
     params = dict(state.params)
     stats = dict(state.batch_stats)
     for name in models_to_load:
-        params[name] = restored["params"][name]
+        new = restored["params"][name]
+        cur = state.params.get(name)
+        if cur is not None:
+            cur_paths = {jax.tree_util.keystr(p) for p, _
+                         in jax.tree_util.tree_flatten_with_path(cur)[0]}
+            new_paths = {jax.tree_util.keystr(p) for p, _
+                         in jax.tree_util.tree_flatten_with_path(new)[0]}
+            if cur_paths != new_paths:
+                missing = sorted(cur_paths - new_paths)[:4]
+                extra = sorted(new_paths - cur_paths)[:4]
+                print(f"WARNING: checkpoint param schema mismatch for "
+                      f"'{name}' (model expects e.g. {missing}, checkpoint "
+                      f"has e.g. {extra}). Known break: the pose VFNet "
+                      "reduce_dim_0 moved from a single Conv to BEVFold "
+                      "{kernel, kernel_rel, bias}; older pose checkpoints "
+                      "need k2[...,z*(gc+1)+ci,o] split into kernel/"
+                      "kernel_rel to restore.")
+        params[name] = new
         stats[name] = restored["batch_stats"][name]
 
     opt_state = state.opt_state

@@ -152,6 +152,7 @@ class VFDepthModel:
         #   'dense'    — never window the ST warps.
         self.st_window_mode = str(cfg.get("st_window_mode", "actual"))
         self.st_window_pad = int(cfg.get("st_window_pad", 64))
+        self.st_window_pad_v = int(cfg.get("st_window_pad_v", 16))
         hw = cfg.get("warp_window_hw", None)  # [h, w] or [[h0,w0],[h1,w1]]
         if hw and not isinstance(hw[0], (list, tuple)):
             hw = (tuple(hw), tuple(hw))
@@ -297,7 +298,8 @@ class VFDepthModel:
                 base = spatio_hw if spatio_hw is not None else sized(False)
                 if base is not None:
                     st_hw = st_actual_hw(base, self.height, self.width,
-                                         self.st_window_pad)
+                                         self.st_window_pad,
+                                         self.st_window_pad_v)
                     area = sum(h * w for h, w in st_hw)
                     if area >= 0.9 * self.height * self.width:
                         st_hw = None

@@ -88,6 +88,13 @@ class Trainer:
 
         step = int(state.step)
         start_time = time.time()
+        # Running max of the warp-window overflow scalar across ALL steps
+        # since the last log checkpoint, folded lazily on-device (one tiny
+        # async `maximum` dispatch per step, no host sync). Overflow is an
+        # expected event under fast egomotion in the 'actual' ST window
+        # mode; sampling it only at checkpoint steps would let steps in
+        # between silently truncate real warp content.
+        overflow_acc = None
         for epoch in range(self.num_epochs):
             if hasattr(train_loader, "set_epoch"):
                 train_loader.set_epoch(epoch)
@@ -98,9 +105,19 @@ class Trainer:
             for batch_idx, batch in enumerate(epoch_iter):
                 before = time.time()
                 state, logs = train_step(state, batch, rng)
+                ov = logs.get("warp_window_overflow")
+                if ov is not None:
+                    overflow_acc = (ov if overflow_acc is None
+                                    else jnp.maximum(overflow_acc, ov))
 
                 if self.logger.is_checkpoint(step):
                     logs = {k: float(v) for k, v in logs.items()}
+                    if overflow_acc is not None:
+                        # max over every step since the last checkpoint, so
+                        # intermittent truncation between checkpoints is
+                        # observed and counts toward the dense-fallback strikes
+                        logs["warp_window_overflow"] = float(overflow_acc)
+                        overflow_acc = None
                     if self._note_warp_overflow(
                             logs.get("warp_window_overflow", 0.0)):
                         # persistent window truncation: recompile dense
