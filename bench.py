@@ -162,6 +162,11 @@ def main():
                 raise
 
     samples_per_sec = batch_size / dt
+    # machine-checkable perf telemetry (VERDICT r4 #7): wall step time and
+    # the analytic-FLOPs MFU (2.1 TFLOP/sample from BASELINE.md over the
+    # v5e bf16 peak used by utils/trace_analysis.summarize)
+    step_ms = round(dt * 1e3, 1)
+    mfu_pct = round(100.0 * (2.1e12 * batch_size) / dt / 197e12, 2)
     result = {
         "metric": "6cam_samples_per_sec_per_chip",
         "value": round(samples_per_sec, 4),
@@ -175,7 +180,7 @@ def main():
     # full-image overlaps disengage the warp windows) and the batch-2 point
     # (the reference's per-GPU batch). Skipped under --profile / explicit
     # BENCH_RIG or batch overrides; failures never kill the headline.
-    extras = {}
+    extras = {"step_ms": step_ms, "mfu_pct_bf16_peak": mfu_pct}
     default_run = ("BENCH_RIG" not in os.environ and batch_size == 1
                    and os.environ.get("BENCH_EXTRAS", "1") == "1"
                    and "--profile" not in sys.argv)
@@ -190,8 +195,7 @@ def main():
                     kwargs["batch_size"] / dt_x, 4)
             except Exception as e:
                 sys.stderr.write(f"bench extra {key} failed: {str(e)[:200]}\n")
-    if extras:
-        result["extra"] = extras
+    result["extra"] = extras
     print(json.dumps(result))
 
 

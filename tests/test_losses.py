@@ -112,18 +112,40 @@ def test_cold_start_overlap_ramp():
     rng = jax.random.PRNGKey(0)
     params, stats = model.init(rng, batch)
 
+    # jit with `step` as a TRACED argument: each model compiles one program
+    # reused across all probed steps (and cached persistently across suite
+    # runs), instead of one eager op-by-op dispatch per (model, step)
+    def make_loss_fn(m):
+        @jax.jit
+        def f(step):
+            _, (loss, logs), _ = m.forward(params, stats, batch, rng,
+                                           train=True, step=step)
+            return loss, {k: v for k, v in logs.items()
+                          if hasattr(v, "ndim") and v.ndim == 0}
+        return f
+
+    _fns = {}
+
     def loss_at(m, step):
-        _, (loss, logs), _ = m.forward(params, stats, batch, rng, train=True,
-                                       step=jnp.asarray(step, jnp.int32))
-        return float(loss), {k: float(v) for k, v in logs.items()
-                             if hasattr(v, "ndim") and v.ndim == 0}
+        if id(m) not in _fns:
+            _fns[id(m)] = make_loss_fn(m)
+        loss, logs = _fns[id(m)](jnp.asarray(step, jnp.int32))
+        return float(loss), {k: float(v) for k, v in logs.items()}
 
     l0, logs0 = loss_at(model, 0)
     l_mid, logs_mid = loss_at(model, 15)
-    l_full, logs_full = loss_at(model, 20)
-    assert logs0["overlap_ramp"] == 0.0
+    l_sp_full, logs_sp_full = loss_at(model, 20)
+    l_st_mid, logs_st_mid = loss_at(model, 25)
+    l_full, logs_full = loss_at(model, 30)
+    assert logs0["overlap_ramp"] == 0.0 and logs0["st_ramp"] == 0.0
+    # staggered: spatio ramps over [warmup, warmup+ramp), the
+    # spatio-temporal term one ramp later over [warmup+ramp, warmup+2*ramp)
     assert abs(logs_mid["overlap_ramp"] - 0.5) < 1e-6
-    assert logs_full["overlap_ramp"] == 1.0
+    assert logs_mid["st_ramp"] == 0.0
+    assert logs_sp_full["overlap_ramp"] == 1.0
+    assert logs_sp_full["st_ramp"] == 0.0
+    assert abs(logs_st_mid["st_ramp"] - 0.5) < 1e-6
+    assert logs_full["overlap_ramp"] == 1.0 and logs_full["st_ramp"] == 1.0
 
     # at step 0 the auto-mask is fully blended OUT (amask_blend=0): the
     # effective reprojection mask is just ref_mask (all-ones here), so

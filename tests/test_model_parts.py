@@ -234,7 +234,7 @@ def test_merged_backprojection_train_grad_equivalence():
         def loss_fn(p):
             _, (loss, _), _ = model.forward(p, stats, batch, rng, train=True)
             return loss
-        return jax.value_and_grad(loss_fn)(params)
+        return jax.jit(jax.value_and_grad(loss_fn))(params)
 
     loss_m, gm = grads_of(merged_model)
     loss_s, gs = grads_of(sep_model)
@@ -304,12 +304,12 @@ def test_fast_reflect_conv_matches_padded(stride, h, w):
     def loss(mod, v, x):
         return jnp.sum(jnp.sin(mod.apply(v, x)))
 
-    gf_x = jax.grad(lambda x_: loss(fast, variables, x_))(x)
-    gs_x = jax.grad(lambda x_: loss(slow, variables, x_))(x)
+    gf_x = jax.jit(jax.grad(lambda x_: loss(fast, variables, x_)))(x)
+    gs_x = jax.jit(jax.grad(lambda x_: loss(slow, variables, x_)))(x)
     np.testing.assert_allclose(np.asarray(gf_x), np.asarray(gs_x),
                                rtol=1e-4, atol=1e-5)
-    gf_k = jax.grad(lambda v_: loss(fast, v_, x))(variables)
-    gs_k = jax.grad(lambda v_: loss(slow, v_, x))(variables)
+    gf_k = jax.jit(jax.grad(lambda v_: loss(fast, v_, x)))(variables)
+    gs_k = jax.jit(jax.grad(lambda v_: loss(slow, v_, x)))(variables)
     for a, b in zip(jax.tree_util.tree_leaves(gf_k),
                     jax.tree_util.tree_leaves(gs_k)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),

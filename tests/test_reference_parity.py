@@ -387,9 +387,10 @@ def _run_reference_chain(ref, fx):
     return snap, mean
 
 
-def _run_repo_chain(fx, monkeypatch):
+def _run_repo_chain(fx):
     """Same chain through this repo's pipeline pieces (model.to_depth,
-    distribute_pose/relative_cam_poses, render_views, total_loss)."""
+    distribute_pose/relative_cam_poses, render_views, total_loss).
+    Tie-break noise is zeroed for the duration (restored after)."""
     import vfdepth_tpu.losses.composite as composite
     from vfdepth_tpu.geometry.se3 import vec_to_matrix
     from vfdepth_tpu.geometry.pose import distribute_pose, relative_cam_poses
@@ -397,8 +398,6 @@ def _run_repo_chain(fx, monkeypatch):
     from vfdepth_tpu.losses import LossConfig, total_loss
     from vfdepth_tpu.presets import tiny_config
     from vfdepth_tpu.training.model import VFDepthModel
-
-    monkeypatch.setattr(composite, "_EPSILON", 0.0)
 
     k, ext, ext_inv, colors_t, mask_t, disp_t, aa, t = fx
     model = VFDepthModel(tiny_config())
@@ -434,18 +433,40 @@ def _run_repo_chain(fx, monkeypatch):
     lc = LossConfig(frame_ids=(0, -1, 1), scales=(0,),
                     disparity_smoothness=0.001, spatio_coeff=0.03,
                     spatio_tempo_coeff=0.1, pose_model="fusion")
-    loss, logs = total_loss(jax.random.PRNGKey(0), lc, batch, {0: disp},
-                            {0: depth}, cam_t_cam, {0: rendered})
+    old_eps = composite._EPSILON
+    composite._EPSILON = 0.0
+    try:
+        loss, logs = total_loss(jax.random.PRNGKey(0), lc, batch, {0: disp},
+                                {0: depth}, cam_t_cam, {0: rendered})
+    finally:
+        composite._EPSILON = old_eps
     return rendered, depth, loss, logs
 
 
-def test_view_rendering_parity(monkeypatch):
+# The main rendering/loss chain is identical for the two tests below (both
+# run with the identity tie-break noise zeroed on both sides); computing it
+# once in a module-level memo halves the module's dominant cost.
+_CHAIN_MEMO: dict = {}
+
+
+def _shared_main_chain():
+    if "main" not in _CHAIN_MEMO:
+        ref = load_reference()
+        fx = _full_chain_fixture()
+        old_eps = ref.single_cam_loss._EPSILON
+        ref.single_cam_loss._EPSILON = 0.0
+        try:
+            snap, ref_mean = _run_reference_chain(ref, fx)
+        finally:
+            ref.single_cam_loss._EPSILON = old_eps
+        _CHAIN_MEMO["main"] = (snap, ref_mean, _run_repo_chain(fx))
+    return _CHAIN_MEMO["main"]
+
+
+def test_view_rendering_parity():
     """Warped temporal/spatio/spatio-tempo images + masks + intensity
     alignment match the reference ViewRendering pixelwise."""
-    ref = load_reference()
-    fx = _full_chain_fixture()
-    snap, _ = _run_reference_chain(ref, fx)
-    rendered, depth, _, _ = _run_repo_chain(fx, monkeypatch)
+    snap, _, (rendered, depth, _, _) = _shared_main_chain()
 
     def cmp(mine, want_nchw, what, atol=2e-4):
         want = np.moveaxis(want_nchw, 1, -1)
@@ -465,14 +486,10 @@ def test_view_rendering_parity(monkeypatch):
                 snap[cam][("overlap_mask", f, 0)], f"overlap mask cam{cam} f{f}")
 
 
-def test_multicam_loss_end_to_end_parity(monkeypatch):
+def test_multicam_loss_end_to_end_parity():
     """Per-key losses and the aggregate total match the reference MultiCamLoss
     (identity tie-break noise zeroed on both sides)."""
-    ref = load_reference()
-    monkeypatch.setattr(ref.single_cam_loss, "_EPSILON", 0.0)
-    fx = _full_chain_fixture()
-    snap, ref_mean = _run_reference_chain(ref, fx)
-    rendered, depth, loss, logs = _run_repo_chain(fx, monkeypatch)
+    snap, ref_mean, (rendered, depth, loss, logs) = _shared_main_chain()
 
     for key in ("reproj_loss", "spatio_loss", "spatio_tempo_loss", "smooth"):
         np.testing.assert_allclose(

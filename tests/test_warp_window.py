@@ -66,12 +66,14 @@ def _setup(seed=0):
 
 
 def _render(s, windows):
-    return render_views(
+    # zero-arg jit: windows carries static box sizes, so it rides the
+    # closure; jitting lets warm suite runs hit the persistent compile cache
+    return jax.jit(lambda: render_views(
         s["colors"], s["mask"], s["k"], s["inv_k"], s["depth"],
         s["cam_t_cam"], s["spatio_pose"], s["st_pose"],
         jnp.asarray(s["rel"]), (0, -1, 1), do_intensity_align=True,
         spatio=True, spatio_temporal=True,
-        min_depth=MIN_D, max_depth=MAX_D, windows=windows)
+        min_depth=MIN_D, max_depth=MAX_D, windows=windows))()
 
 
 def _estimate(s, with_motion):
@@ -120,8 +122,8 @@ def test_windowed_depth_gradient_equals_dense():
         return (jnp.sum(out.overlap_img ** 2)
                 + jnp.sum(out.overlap_mask * 0.3))
 
-    g_dense = jax.grad(lambda d: loss(d, None))(s["depth"])
-    g_boxed = jax.grad(lambda d: loss(d, win))(s["depth"])
+    g_dense = jax.jit(jax.grad(lambda d: loss(d, None)))(s["depth"])
+    g_boxed = jax.jit(jax.grad(lambda d: loss(d, win)))(s["depth"])
     np.testing.assert_allclose(np.asarray(g_boxed), np.asarray(g_dense),
                                atol=1e-3, rtol=1e-4)
 
@@ -298,8 +300,8 @@ def test_st_actual_depth_gradient_equals_dense():
             _estimate(s, with_motion=False), st_hw,
             MIN_D, MAX_D, FSCALE, st_depth=jax.lax.stop_gradient(depth))
 
-    g_dense = jax.grad(lambda d: loss(d, None))(s["depth"])
-    g_boxed = jax.grad(lambda d: loss(d, win_of(d)))(s["depth"])
+    g_dense = jax.jit(jax.grad(lambda d: loss(d, None)))(s["depth"])
+    g_boxed = jax.jit(jax.grad(lambda d: loss(d, win_of(d))))(s["depth"])
     np.testing.assert_allclose(np.asarray(g_boxed), np.asarray(g_dense),
                                atol=1e-3, rtol=1e-4)
 

@@ -189,6 +189,6 @@ def get_config(path: str, mode: str = "train", weight_path: Optional[str] = None
     # anchor pulls the mean sigmoid toward 0.5 (mid-range depth).
     tr.setdefault("cold_start_pose_coeff", 1.0)
     tr.setdefault("cold_start_pose_floor", 0.1)
-    tr.setdefault("cold_start_pose_ceil", 1.0)
+    tr.setdefault("cold_start_pose_ceil", 2.5)
     tr.setdefault("cold_start_disp_coeff", 0.1)
     return Config(data)

@@ -74,9 +74,14 @@ class LossConfig(NamedTuple):
     #     with sigmoid' exactly at the saturation it exists to prevent
     #     (see the inline note at the prior computation).
     # Both vanish with the schedule, leaving the reference objective exact.
+    # Ceiling note: the fly-away basin sits at the +-4 m translation clamp,
+    # so the ceiling only needs to stay well below 4; it must stay ABOVE
+    # any plausible per-frame ego-motion or it actively suppresses the
+    # photometrically-consistent pose scale during the ramp (measured at
+    # 1.5 m/frame with ceil 1.0: convergence stalls at abs_rel ~0.88).
     pose_prior_coeff: float = 1.0
     pose_prior_floor: float = 0.1
-    pose_prior_ceil: float = 1.0
+    pose_prior_ceil: float = 2.5
     disp_anchor_coeff: float = 0.1
 
 
@@ -228,10 +233,24 @@ def total_loss(
     context = jnp.stack([batch[f"color/{f}/0"] for f in ctx_ids], axis=2)
 
     ramp = None
+    st_ramp = None
     amask_blend = None
     if (cfg.warmup_steps or cfg.ramp_steps) and step is not None:
         ramp = jnp.clip(
             (step.astype(jnp.float32) - float(cfg.warmup_steps))
+            / float(max(cfg.ramp_steps, 1)), 0.0, 1.0).astype(target.dtype)
+        # The spatio-temporal term ramps STAGGERED, one ramp_steps after the
+        # spatio term completes. The spatio warps use only the fixed rig
+        # extrinsics — a metric-anchored, pose-free term that stabilizes the
+        # depth scale — while the ST warps compose the (still-noisy) learned
+        # pose; landing both at once gave the overlap terms' shared
+        # degenerate direction (shrink the masked-mean footprint by
+        # saturating depth) enough pull to derail weak-parallax runs
+        # (measured at 0.1 m/frame: warmup converges to abs_rel 0.34, the
+        # joint ramp then collapses it to 3.3 — docs/PERF.md round-5 log).
+        st_ramp = jnp.clip(
+            (step.astype(jnp.float32)
+             - float(cfg.warmup_steps + cfg.ramp_steps))
             / float(max(cfg.ramp_steps, 1)), 0.0, 1.0).astype(target.dtype)
         # The auto-mask fades in on a FASTER schedule (fully in by the end
         # of warmup), so the temporal objective is reference-exact before
@@ -243,8 +262,8 @@ def total_loss(
             step.astype(jnp.float32) / float(max(cfg.warmup_steps, 1)),
             0.0, 1.0).astype(target.dtype)
     sp_coeff = cfg.spatio_coeff if ramp is None else cfg.spatio_coeff * ramp
-    st_coeff = (cfg.spatio_tempo_coeff if ramp is None
-                else cfg.spatio_tempo_coeff * ramp)
+    st_coeff = (cfg.spatio_tempo_coeff if st_ramp is None
+                else cfg.spatio_tempo_coeff * st_ramp)
 
     cam_loss = jnp.zeros((target.shape[1],), dtype=target.dtype)
     logs: Dict[str, jnp.ndarray] = {}
@@ -272,6 +291,7 @@ def total_loss(
                 logs["spatio_tempo_loss"] = st.mean()
                 if ramp is not None:
                     logs["overlap_ramp"] = ramp
+                    logs["st_ramp"] = st_ramp
 
         if cfg.pose_model == "fsm" and cfg.pose_loss_coeff > 0:
             pose_l = pose_consistency_loss(
@@ -315,8 +335,10 @@ def total_loss(
 
     if ramp is not None:
         # cold-start priors (see LossConfig): full strength during the
-        # temporal-only warmup, fading with the overlap ramp
-        prior_scale = 1.0 - ramp
+        # temporal-only warmup AND the spatio ramp, fading only with the
+        # LAST (spatio-temporal) ramp — the measured failure mode at weak
+        # parallax was overlap terms landing exactly as the priors died
+        prior_scale = 1.0 - st_ramp
         t_norm = jnp.linalg.norm(
             cam_t_cam[..., :3, 3].astype(jnp.float32), axis=-1).mean()
         # two-sided hinge: the zero-pose basin is below the floor; the

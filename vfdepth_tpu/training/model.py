@@ -81,7 +81,7 @@ def loss_config_from(cfg: Config) -> LossConfig:
         ramp_steps=int(cfg.get("cold_start_ramp_steps", 0)),
         pose_prior_coeff=float(cfg.get("cold_start_pose_coeff", 1.0)),
         pose_prior_floor=float(cfg.get("cold_start_pose_floor", 0.1)),
-        pose_prior_ceil=float(cfg.get("cold_start_pose_ceil", 1.0)),
+        pose_prior_ceil=float(cfg.get("cold_start_pose_ceil", 2.5)),
         disp_anchor_coeff=float(cfg.get("cold_start_disp_coeff", 0.1)),
     )
 
