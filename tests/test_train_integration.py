@@ -122,6 +122,35 @@ def test_dp_grad_equivalence():
             f"grad divergence {diff} on leaf {a.shape}")
 
 
+def test_pose_lr_boost_schedule():
+    """The cold-start pose LR boost must (a) scale ONLY pose_net updates,
+    (b) follow the linear fade factor exactly, and (c) become the reference
+    Adam EXACTLY (factor 1.0, no residual scaling) once the fade completes —
+    the converged optimizer is reference-parity (models/vfdepth.py:175-189),
+    the boost is a transient of the from-scratch recipe only."""
+    from vfdepth_tpu.training.step import make_optimizer
+
+    params = {"depth_net": {"w": jnp.zeros(3)}, "pose_net": {"w": jnp.zeros(3)}}
+    grads = {"depth_net": {"w": jnp.ones(3)}, "pose_net": {"w": jnp.ones(3)}}
+    tx = make_optimizer(1e-2, 1000, 1, pose_boost=5.0,
+                        boost_fade_start=3, boost_fade_steps=2)
+    opt_state = tx.init(params)
+    expected = [5.0, 5.0, 5.0, 5.0, 3.0, 1.0, 1.0, 1.0]  # factor(count)
+    for i, want in enumerate(expected):
+        updates, opt_state = tx.update(grads, opt_state, params)
+        d, p = updates["depth_net"]["w"], updates["pose_net"]["w"]
+        ratio = float(p[0] / d[0])
+        assert abs(ratio - want) < 1e-6, (i, ratio, want)
+        if want == 1.0:  # post-fade: bitwise identical to the base update
+            assert np.array_equal(np.asarray(p), np.asarray(d)), i
+    # pose_boost <= 1.0 short-circuits to plain Adam
+    tx1 = make_optimizer(1e-2, 1000, 1, pose_boost=1.0)
+    st1 = tx1.init(params)
+    u1, _ = tx1.update(grads, st1, params)
+    assert np.array_equal(np.asarray(u1["pose_net"]["w"]),
+                          np.asarray(u1["depth_net"]["w"]))
+
+
 @pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     from vfdepth_tpu.training.checkpoint import save_checkpoint, load_checkpoint

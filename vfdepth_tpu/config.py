@@ -191,4 +191,17 @@ def get_config(path: str, mode: str = "train", weight_path: Optional[str] = None
     tr.setdefault("cold_start_pose_floor", 0.1)
     tr.setdefault("cold_start_pose_ceil", 2.5)
     tr.setdefault("cold_start_disp_coeff", 0.1)
+    # Optimizer-level pose-net LR multiplier while the staged schedule is
+    # active, fading linearly to exactly 1.0 with the spatio-temporal ramp
+    # (training/step.py make_optimizer). Adam's update magnitude is ~lr
+    # regardless of gradient scale, so a from-scratch pose head's |t| grows
+    # at most ~lr/step; at fast ego-motion (>= ~1.5 m/frame) the reference
+    # lr needs ~7500 steps to reach scale — the boost closes that gap
+    # without touching the converged (reference) optimizer. Default OFF:
+    # at nominal speeds the un-boosted pose already reaches scale within
+    # the ramp, and a measured 5x run at 0.5 m/frame REGRESSED the
+    # validated recipe (docs/PERF.md round-5 stress table) — set it only
+    # for fast-ego-motion datasets. Ignored when the staged schedule is
+    # off.
+    tr.setdefault("cold_start_pose_lr_boost", 1.0)
     return Config(data)

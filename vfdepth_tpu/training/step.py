@@ -41,9 +41,38 @@ def make_lr_schedule(learning_rate: float, scheduler_step_size: int,
 
 
 def make_optimizer(learning_rate, scheduler_step_size: int,
-                   steps_per_epoch: int) -> optax.GradientTransformation:
+                   steps_per_epoch: int, pose_boost: float = 1.0,
+                   boost_fade_start: int = 0, boost_fade_steps: int = 1
+                   ) -> optax.GradientTransformation:
+    """Adam(+StepLR), optionally with a cold-start pose-net LR boost.
+
+    Under Adam the per-step parameter motion is ~lr regardless of gradient
+    scale, so a from-scratch pose head's translation magnitude grows at
+    most ~lr per step — at 1.5 m/frame ego-motion reaching the
+    photometrically consistent |t| needs ~|t|/lr steps (measured: |t| grew
+    2.3e-4/step at lr 2e-4, docs/PERF.md round-5 log). The boost multiplies
+    the POSE NET's updates by ``pose_boost`` while the cold-start schedule
+    is active, fading linearly to exactly 1.0 over
+    [boost_fade_start, boost_fade_start + boost_fade_steps] (aligned with
+    the spatio-temporal ramp), after which the optimizer is the reference
+    Adam exactly. Gradient-scale tricks cannot do this — Adam normalizes
+    them away; only an update-scale group can."""
     sched = make_lr_schedule(learning_rate, scheduler_step_size, steps_per_epoch)
-    return optax.adam(sched)
+    base = optax.adam(sched)
+    if pose_boost <= 1.0:
+        return base
+
+    def factor(count):
+        f = jnp.clip((count - boost_fade_start)
+                     / max(boost_fade_steps, 1), 0.0, 1.0)
+        return pose_boost + (1.0 - pose_boost) * f
+
+    def pose_mask(params):
+        return {k: jax.tree_util.tree_map(lambda _: k == "pose_net", v)
+                for k, v in params.items()}
+
+    return optax.chain(
+        base, optax.masked(optax.scale_by_schedule(factor), pose_mask))
 
 
 def create_train_state(model: VFDepthModel, rng: jax.Array, batch,
@@ -54,8 +83,15 @@ def create_train_state(model: VFDepthModel, rng: jax.Array, batch,
     # compiles — DDAD calibration varies per scene)
     model.configure_warp_window(batch, rigs=rigs)
     params, batch_stats = model.init(rng, batch)
-    tx = make_optimizer(model.cfg.learning_rate,
-                        model.cfg.scheduler_step_size, steps_per_epoch)
+    cfg = model.cfg
+    warm = int(cfg.get("cold_start_warmup_steps", 0))
+    ramp = int(cfg.get("cold_start_ramp_steps", 0))
+    boost = (float(cfg.get("cold_start_pose_lr_boost", 1.0))
+             if (warm or ramp) else 1.0)
+    tx = make_optimizer(cfg.learning_rate, cfg.scheduler_step_size,
+                        steps_per_epoch, pose_boost=boost,
+                        boost_fade_start=warm + ramp,
+                        boost_fade_steps=max(ramp, 1))
     opt_state = tx.init(params)
     return TrainState(jnp.zeros((), jnp.int32), params, batch_stats, opt_state), tx
 
