@@ -183,6 +183,10 @@ def get_config(path: str, mode: str = "train", weight_path: Optional[str] = None
     tr = data["training"]
     tr.setdefault("cold_start_warmup_steps", 0)
     tr.setdefault("cold_start_ramp_steps", 0)
+    # Staggered ST ramp (losses/composite.py LossConfig stagger_ramps):
+    # default off — the joint schedule is the one validated at the
+    # canonical regime; stagger is a knob for weak/fast-parallax regimes.
+    tr.setdefault("cold_start_stagger_ramps", False)
     # Cold-start priors (losses/composite.py LossConfig docstring): active
     # only while the staged schedule ramps, scaled by (1 - ramp). The hinge
     # floor is in meters of per-camera translation per frame pair; the disp

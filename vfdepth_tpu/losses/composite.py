@@ -59,6 +59,20 @@ class LossConfig(NamedTuple):
     # coefficients in linearly over `ramp_steps`.
     warmup_steps: int = 0
     ramp_steps: int = 0
+    # Staggered-ramp variant (config `cold_start_stagger_ramps`): the
+    # spatio-temporal coefficient ramps one ramp_steps AFTER the spatio
+    # ramp completes, and the priors fade with that LAST ramp. Rationale:
+    # spatio is pose-free and metric-anchored by the rig baselines; ST
+    # composes the still-noisy pose and was the measured collapse vector at
+    # weak parallax (0.1 m/frame: warmup converges to abs_rel 0.34, the
+    # joint ramp collapses it to 3.3 — docs/PERF.md round-5 log). DEFAULT
+    # OFF: at the canonical 0.5 m/frame validated regime the staggered
+    # schedule flipped one of four seeds into the 0.835 stall (multi-seed
+    # margin run, docs/PERF.md) while the joint schedule converged — the
+    # shipped default is the schedule the convergence evidence backs; the
+    # knob remains for fast/weak-parallax regimes where the measured
+    # tradeoff runs the other way.
+    stagger_ramps: bool = False
     # Cold-start priors, active only while the staged schedule is ramping
     # (scaled by 1 - ramp, i.e. full during warmup, zero once the overlap
     # coefficients are fully in). They break the two degenerate minima that
@@ -239,19 +253,15 @@ def total_loss(
         ramp = jnp.clip(
             (step.astype(jnp.float32) - float(cfg.warmup_steps))
             / float(max(cfg.ramp_steps, 1)), 0.0, 1.0).astype(target.dtype)
-        # The spatio-temporal term ramps STAGGERED, one ramp_steps after the
-        # spatio term completes. The spatio warps use only the fixed rig
-        # extrinsics — a metric-anchored, pose-free term that stabilizes the
-        # depth scale — while the ST warps compose the (still-noisy) learned
-        # pose; landing both at once gave the overlap terms' shared
-        # degenerate direction (shrink the masked-mean footprint by
-        # saturating depth) enough pull to derail weak-parallax runs
-        # (measured at 0.1 m/frame: warmup converges to abs_rel 0.34, the
-        # joint ramp then collapses it to 3.3 — docs/PERF.md round-5 log).
-        st_ramp = jnp.clip(
+        # Optionally the spatio-temporal term ramps STAGGERED, one
+        # ramp_steps after the spatio term completes (see LossConfig
+        # stagger_ramps for the measured tradeoff; default = joint ramps,
+        # the schedule validated at the canonical regime).
+        st_ramp = (jnp.clip(
             (step.astype(jnp.float32)
              - float(cfg.warmup_steps + cfg.ramp_steps))
             / float(max(cfg.ramp_steps, 1)), 0.0, 1.0).astype(target.dtype)
+            if cfg.stagger_ramps else ramp)
         # The auto-mask fades in on a FASTER schedule (fully in by the end
         # of warmup), so the temporal objective is reference-exact before
         # the overlap terms start ramping. At a zero-pose init the identity
@@ -335,9 +345,9 @@ def total_loss(
 
     if ramp is not None:
         # cold-start priors (see LossConfig): full strength during the
-        # temporal-only warmup AND the spatio ramp, fading only with the
-        # LAST (spatio-temporal) ramp — the measured failure mode at weak
-        # parallax was overlap terms landing exactly as the priors died
+        # temporal-only warmup, fading with the LAST ramp (= the single
+        # joint ramp by default; under stagger_ramps the spatio-temporal
+        # one, so the priors outlive the spatio ramp)
         prior_scale = 1.0 - st_ramp
         t_norm = jnp.linalg.norm(
             cam_t_cam[..., :3, 3].astype(jnp.float32), axis=-1).mean()

@@ -79,6 +79,7 @@ def loss_config_from(cfg: Config) -> LossConfig:
         pose_model=cfg.pose_model,
         warmup_steps=int(cfg.get("cold_start_warmup_steps", 0)),
         ramp_steps=int(cfg.get("cold_start_ramp_steps", 0)),
+        stagger_ramps=bool(cfg.get("cold_start_stagger_ramps", False)),
         pose_prior_coeff=float(cfg.get("cold_start_pose_coeff", 1.0)),
         pose_prior_floor=float(cfg.get("cold_start_pose_floor", 0.1)),
         pose_prior_ceil=float(cfg.get("cold_start_pose_ceil", 2.5)),

@@ -88,9 +88,13 @@ def create_train_state(model: VFDepthModel, rng: jax.Array, batch,
     ramp = int(cfg.get("cold_start_ramp_steps", 0))
     boost = (float(cfg.get("cold_start_pose_lr_boost", 1.0))
              if (warm or ramp) else 1.0)
+    # the boost fades with the LAST loss ramp: the joint ramp
+    # [warm, warm+ramp] by default, the staggered ST ramp
+    # [warm+ramp, warm+2*ramp] under cold_start_stagger_ramps
+    stagger = bool(cfg.get("cold_start_stagger_ramps", False))
     tx = make_optimizer(cfg.learning_rate, cfg.scheduler_step_size,
                         steps_per_epoch, pose_boost=boost,
-                        boost_fade_start=warm + ramp,
+                        boost_fade_start=(warm + ramp) if stagger else warm,
                         boost_fade_steps=max(ramp, 1))
     opt_state = tx.init(params)
     return TrainState(jnp.zeros((), jnp.int32), params, batch_stats, opt_state), tx
