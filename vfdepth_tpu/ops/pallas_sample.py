@@ -10,13 +10,16 @@ kernel and never leaves VMEM:
   forward : out[n, c]  = W[n, band] @ img[band, c]   (summed over y-bands)
   backward: dimg[p, c] = W[band, n]^T @ g[n, c]      (accumulated over tiles)
 
-The weight matrix is built per *y-band* of ``_SB`` source rows rather than
-over the whole image: voxel points are [z, y, x]-ordered, so a 256-point
-sub-tile projects into a narrow image band and the one-hot contraction
-shrinks from h*w to _SB*w (3x fewer MACs and W-build ops at 48x80). Bands
-live on an aligned lattice with DYNAMIC loop trip counts — fully
-out-of-FOV sub-tiles (50-70% of the volume per camera) run zero band
-iterations, replacing the previous explicit whole-tile skip.
+The weight matrix is built per 2-D *(y, x) band* of ``_SB`` source rows x
+``_XB`` columns rather than over the whole image: voxel points are
+(y, x, z)-ordered, so a 256-point sub-tile is a handful of voxel
+z-columns whose projections cluster in BOTH image axes, and the one-hot
+contraction shrinks from h*w to _SB*_XB (measured 2.9x fewer MACs than
+the earlier full-width y-band form on the nuScenes bench rig, before the
+per-y-segment x-span tightening). Bands live on an aligned lattice with
+DYNAMIC loop trip counts — fully out-of-FOV sub-tiles (50-70% of the
+volume per camera) run zero band iterations, and each live y-segment
+computes its own x-span over the points whose taps touch it.
 
 Coordinates carry no gradient (they are functions of calibration constants
 in the back-projection; reference ``network/volumetric_fusionnet.py:132-145``).
@@ -35,29 +38,35 @@ from jax.experimental.pallas import tpu as pltpu
 _TILE_N = 256
 _SUPER = 8  # 16+ exceeds the 16 MB scoped-vmem limit (out block scales with it)
 _BLOCK_N = _TILE_N * _SUPER
-# Source y-band rows (aligned lattice; multiple of the bf16 sublane tile).
-# The band span per sub-tile is computed over LIVE TAPS ONLY (points whose
+# Source band lattice: _band_rows y-rows x _XB columns (both multiples of
+# the bf16 sublane tile, so the 2-D dynamic band slice stays tile-aligned).
+# Band spans per sub-tile are computed over LIVE TAPS ONLY (points whose
 # bilinear taps can touch the image); without that masking a single stray
 # point — in front of the camera but projecting outside the image, clipped
-# at +-2*w pixels — stretched the span over the whole lattice, which is why
-# an earlier 16-row banding experiment lost to whole-image bands. With live
-# -tap spans the measured mean is ~1.3 segments of 16 rows per 256-point
-# sub-tile on the DDAD rig (~2.3x fewer MACs + W-build ops than the
-# whole-image band, on top of the zero-iteration skip for fully
-# out-of-FOV sub-tiles).
+# at +-2*w pixels — stretched the span over the whole lattice. Each live
+# y-segment additionally computes its own x-span (a voxel z-column's
+# projections cluster tightly in x within one image row band).
 def _band_rows(h: int) -> int:
     return 16
 
 
-def _pix_taps(coords: jnp.ndarray, h: int, w: int, sb: int,
-              raw: bool = False):
+_XB = 16  # x-band columns (lattice width)
+
+
+def _pad_cols(w: int) -> int:
+    return -(-w // _XB) * _XB
+
+
+def _pix_taps(coords: jnp.ndarray, h: int, w: int, row0_idx, n_valid: int,
+              sb: int, raw: bool = False):
     """Pixel-space tap data for one sub-tile.
 
-    Returns (ohx [tile, w] bf16 2-tap x weights, iy0 [tile, 1] int32 floor
-    row, ty [tile, 1] bf16 y frac, y_lo, n_seg) — iy0 is sentinel-free;
-    band membership uses the aligned lattice (each tap row belongs to
-    exactly one band). Non-finite coords sanitize to -2 normalized (all
-    taps dead, zero active bands when a whole sub-tile is out of FOV).
+    Returns (ix0, iy0 [tile, 1] int32 floor taps — DEAD points (non-finite
+    / sanitized out of FOV / rows past ``n_valid``) carry a -(1<<20)
+    sentinel so they match no band window and drop out of every span;
+    wx, ty [tile, 1] bf16 fracs; fx32, fy32 [tile, 1] f32 fracs (nearest
+    picks compare the f32 frac — bf16 rounds ~0.5002 onto 0.5); lat_y,
+    n_seg_y the y-lattice origin and dynamic segment count).
 
     raw: coords are CAMERA-PLANE points (u, v, z) and the perspective
     divide, NaN/overflow handling, in-front and in-bounds sanitize all run
@@ -81,66 +90,85 @@ def _pix_taps(coords: jnp.ndarray, h: int, w: int, sb: int,
         y = jnp.where(live, y, -4.0)
     else:
         finite = jnp.isfinite(coords[:, 0]) & jnp.isfinite(coords[:, 1])
-        cx = jnp.where(finite, coords[:, 0], -2.0)
-        cy = jnp.where(finite, coords[:, 1], -2.0)
-        x = (cx + 1.0) * 0.5 * (w - 1)
-        y = (cy + 1.0) * 0.5 * (h - 1)
+        x = jnp.where(finite, (coords[:, 0] + 1.0) * (0.5 * (w - 1)), -4.0)
+        y = jnp.where(finite, (coords[:, 1] + 1.0) * (0.5 * (h - 1)), -4.0)
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
-    fx32 = (x - x0)[:, None]                 # keep f32 for nearest picks:
-    fy32 = (y - y0)[:, None]                 # bf16 rounds ~0.5002 ONTO 0.5
+    fx32 = (x - x0)[:, None]
+    fy32 = (y - y0)[:, None]
     wx = fx32.astype(jnp.bfloat16)
     ty = fy32.astype(jnp.bfloat16)
     ix0 = x0.astype(jnp.int32)[:, None]
     iy0 = y0.astype(jnp.int32)[:, None]
 
+    # live-tap mask: a point contributes nothing unless both its x taps and
+    # y taps can land in-image (ix0 in [-1, w-1], iy0 in [-1, h-1]); rows
+    # past the true point count (the grid need not divide n; the partial
+    # last block reads undefined coords there) are dead too.
     tile = coords.shape[0]
-    iox = jax.lax.broadcasted_iota(jnp.int32, (tile, w), 1)
-    one = jnp.bfloat16(1.0)
-    # iota compares zero out-of-range taps automatically (no match < 0 or >= w)
-    m0x = (iox == ix0)
-    m1x = (iox == ix0 + 1)
-    ohx = (m0x.astype(jnp.bfloat16) * (one - wx)
-           + m1x.astype(jnp.bfloat16) * wx)
-    # nearest x one-hot (rounded weights; exact NEAREST through the taps;
-    # the pick compares the F32 frac — a bf16 frac collapses ties)
-    pxn = (fx32 > 0.5).astype(jnp.bfloat16)
-    ohx_n = (m0x.astype(jnp.bfloat16) * (one - pxn)
-             + m1x.astype(jnp.bfloat16) * pxn)
-
-    # Band span over LIVE taps only: a point contributes nothing unless both
-    # its x taps and y taps can land in-image (ix0 in [-1, w-1], iy0 in
-    # [-1, h-1]) — excluding dead points from the span is exact, and it is
-    # what keeps the span tight (in-front points clipped at +-2*w pixels
-    # would otherwise stretch it across the whole lattice).
+    row = (jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0) + row0_idx)
     alive = ((ix0 >= -1) & (ix0 <= w - 1)
-             & (iy0 >= -1) & (iy0 <= h - 1))
-    y0a = jnp.where(alive, iy0, h)
-    lo = jnp.clip(jnp.min(y0a), -1, h)
-    y0b = jnp.where(alive, iy0, -2)
-    hi = jnp.clip(jnp.max(y0b) + 2, -1, h + 1)
+             & (iy0 >= -1) & (iy0 <= h - 1) & (row < n_valid))
+    dead = jnp.int32(-(1 << 20))
+    ix0 = jnp.where(alive, ix0, dead)
+    iy0 = jnp.where(alive, iy0, dead)
+
+    lo = jnp.clip(jnp.min(jnp.where(alive, iy0, h)), -1, h)
+    hi = jnp.clip(jnp.max(jnp.where(alive, iy0, -2)) + 2, -1, h + 1)
     lat = jnp.maximum((lo // sb) * sb, 0)
     n_seg = jnp.maximum((jnp.minimum(hi, h) - lat + sb - 1) // sb, 0)
-    return ohx, ohx_n, iy0, ty, fy32, lat, n_seg
+    return ix0, iy0, wx, ty, fx32, fy32, lat, n_seg
 
 
-def _wy_band(iy0, ty, o_kw, tile, w, h, sb, transpose=False):
-    """Band y-weight factor: [tile, sb*w] (or transposed [sb*w, tile]).
+def _xspan(ix0, iy0, y0, sb, w):
+    """x-lattice origin + dynamic window count for ONE y-segment: the span
+    of ix0 over points whose taps touch rows [y0, y0+sb) (iy0 in
+    [y0-1, y0+sb-1]; dead sentinels fail the lower test)."""
+    in_seg = (iy0 >= y0 - 1) & (iy0 < y0 + sb)
+    xlo = jnp.min(jnp.where(in_seg, ix0, w))
+    xhi = jnp.max(jnp.where(in_seg, ix0, -2)) + 2
+    lat_x = jnp.maximum((xlo // _XB) * _XB, 0)
+    n_x = jnp.maximum((jnp.minimum(xhi, w) - lat_x + _XB - 1) // _XB, 0)
+    return lat_x, n_x
 
-    Row block r covers flat pixels [o_kw + r*w, o_kw + (r+1)*w); tap rows
-    iy0 (weight 1-ty) and iy0+1 (weight ty) match via flat range tests,
-    with taps >= h invalidated (taps < 0 can never match: iop >= 0)."""
+
+def _ohx_window(ix0, wx, x0, xb, transpose=False):
+    """Bilinear x one-hot over window columns [x0, x0+xb):
+    [tile, xb] (or transposed [xb, tile]). Taps outside the window never
+    match (each tap column belongs to exactly one lattice window); a tap
+    at column w on a padded image hits a zero column (zeros-padding
+    semantics preserved)."""
+    tile = ix0.shape[0]
+    one = jnp.bfloat16(1.0)
+    if transpose:
+        iox = jax.lax.broadcasted_iota(jnp.int32, (xb, tile), 0) + x0
+        ix0, wx = ix0.T, wx.T
+    else:
+        iox = jax.lax.broadcasted_iota(jnp.int32, (tile, xb), 1) + x0
+    return ((iox == ix0).astype(jnp.bfloat16) * (one - wx)
+            + (iox == ix0 + 1).astype(jnp.bfloat16) * wx)
+
+
+def _wy_window(iy0, ty, y0, h, sb, xb, transpose=False):
+    """Band y-weight factor over the FLAT [sb*xb] window: [tile, sb*xb]
+    (or transposed). Row block r covers flat window indices
+    [r*xb, (r+1)*xb); tap rows iy0 (weight 1-ty) and iy0+1 (weight ty)
+    match via range tests, with taps >= h invalidated (taps < 0 and dead
+    sentinels can never match: the window row index is >= 0)."""
     one = jnp.bfloat16(1.0)
     big = jnp.int32(1 << 24)
-    iy0w = jnp.where(iy0 < h, iy0 * w, big)
-    iy1w = jnp.where(iy0 + 1 < h, (iy0 + 1) * w, big)
+    top = jnp.minimum(y0 + sb, h)
+    r0 = jnp.where((iy0 >= y0) & (iy0 < top), (iy0 - y0) * xb, big)
+    iy1 = iy0 + 1
+    r1 = jnp.where((iy1 >= y0) & (iy1 < top), (iy1 - y0) * xb, big)
+    tile = iy0.shape[0]
     if transpose:
-        iop = jax.lax.broadcasted_iota(jnp.int32, (sb * w, tile), 0) + o_kw
-        iy0w, iy1w, ty = iy0w.T, iy1w.T, ty.T
+        iop = jax.lax.broadcasted_iota(jnp.int32, (sb * xb, tile), 0)
+        r0, r1, ty = r0.T, r1.T, ty.T
     else:
-        iop = jax.lax.broadcasted_iota(jnp.int32, (tile, sb * w), 1) + o_kw
-    row0 = ((iop >= iy0w) & (iop < iy0w + w))
-    row1 = ((iop >= iy1w) & (iop < iy1w + w))
+        iop = jax.lax.broadcasted_iota(jnp.int32, (tile, sb * xb), 1)
+    row0 = ((iop >= r0) & (iop < r0 + xb))
+    row1 = ((iop >= r1) & (iop < r1 + xb))
     return (row0.astype(jnp.bfloat16) * (one - ty)
             + row1.astype(jnp.bfloat16) * ty)
 
@@ -196,48 +224,57 @@ def _fwd_kernel(h: int, w: int, sb: int, with_mask: bool, fold_valid: bool,
     def body(k, _):
         sl = pl.ds(k * _TILE_N, _TILE_N)
         coords = coords_ref[sl, :]
-        ohx, ohx_n, iy0, ty, fy32, lat, n_seg = _pix_taps(coords, h, w, sb,
-                                                          raw=raw)
-        # zero the rows past the true point count (the grid need not divide
-        # n; the partial last block reads undefined coords there)
-        row = (jax.lax.broadcasted_iota(jnp.int32, (_TILE_N, 1), 0)
-               + blk * _BLOCK_N + k * _TILE_N)
-        ok = (row < n_valid).astype(ohx.dtype)
-        ohx = ohx * ok
-        ohx_n = ohx_n * ok
-        ohx_full = pltpu.repeat(ohx, sb, axis=1)       # [tile, sb*w]
+        ix0, iy0, wx, ty, fx32, fy32, lat, n_seg = _pix_taps(
+            coords, h, w, blk * _BLOCK_N + k * _TILE_N, n_valid, sb, raw=raw)
         if with_mask:
+            # nearest x one-hot over the FULL width (the single mask
+            # channel stays separable per y-segment — a lane-dim x window
+            # on the rank-2 mask ref is not sliceable, and one [tile, w]
+            # matmul per y-segment is cheap); the pick compares f32 fracs
+            iox = jax.lax.broadcasted_iota(jnp.int32, (_TILE_N, w), 1)
+            pxn = (fx32 > 0.5).astype(jnp.bfloat16)
+            one = jnp.bfloat16(1.0)
+            ohx_n = ((iox == ix0).astype(jnp.bfloat16) * (one - pxn)
+                     + (iox == ix0 + 1).astype(jnp.bfloat16) * pxn)
             big = jnp.int32(1 << 24)
-            iy0v = jnp.where(iy0 < h, iy0, big)
-            iy1v = jnp.where(iy0 + 1 < h, iy0 + 1, big)
-            pyn = (fy32 > 0.5).astype(jnp.bfloat16)
+            iy0v = jnp.where((iy0 >= 0) & (iy0 < h), iy0, big)
+            iy1v = jnp.where((iy0 >= -1) & (iy0 + 1 < h), iy0 + 1, big)
+            pyn = (fy32 > 0.5).astype(jnp.float32)
             ior_sb = jax.lax.broadcasted_iota(
                 jnp.int32, (_TILE_N, sb), 1)
 
-        def seg(s, acc):
-            o_k = pl.multiple_of(lat + s * sb, sb)
-            o_kw = pl.multiple_of(o_k * w, sb * w)
-            band = img_ref[pl.ds(o_kw, sb * w), :]     # [sb*w, C]
-            w_mat = ohx_full * _wy_band(iy0, ty, o_kw, _TILE_N, w, h, sb)
-            feat = jnp.dot(w_mat, band, preferred_element_type=jnp.float32)
-            if not with_mask:
-                return acc + feat
-            mband = mask_ref[pl.ds(o_k, sb), :]        # [sb, w]
-            # separable nearest for the single mask channel: small matmul
-            # over x, then a per-point row pick over the band's _SB rows
-            tmp = jax.lax.dot_general(
-                ohx_n, mband, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)    # [tile, SB]
-            ryn = ((ior_sb == iy0v - o_k).astype(jnp.float32)
-                   * (1.0 - pyn.astype(jnp.float32))
-                   + (ior_sb == iy1v - o_k).astype(jnp.float32)
-                   * pyn.astype(jnp.float32))
-            m_out = jnp.sum(tmp * ryn, axis=1, keepdims=True)
-            return acc + jnp.concatenate([feat, m_out], axis=1)
+        def yseg(s, carry):
+            acc_f, acc_m = carry
+            y0 = pl.multiple_of(lat + s * sb, sb)
+            if with_mask:
+                mband = mask_ref[pl.ds(y0, sb), :]     # [sb, w]
+                tmp = jax.lax.dot_general(
+                    ohx_n, mband, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # [tile, SB]
+                ryn = ((ior_sb == iy0v - y0).astype(jnp.float32)
+                       * (1.0 - pyn)
+                       + (ior_sb == iy1v - y0).astype(jnp.float32) * pyn)
+                acc_m = acc_m + jnp.sum(tmp * ryn, axis=1, keepdims=True)
+            lat_x, n_x = _xspan(ix0, iy0, y0, sb, w)
 
-        acc = jax.lax.fori_loop(
-            0, n_seg, seg,
-            jnp.zeros((_TILE_N, c + (1 if with_mask else 0)), jnp.float32))
+            def xseg(t, acc):
+                x0 = pl.multiple_of(lat_x + t * _XB, _XB)
+                w_mat = (pltpu.repeat(_ohx_window(ix0, wx, x0, _XB),
+                                      sb, axis=1)
+                         * _wy_window(iy0, ty, y0, h, sb, _XB))
+                band = img_ref[pl.ds(y0, sb), pl.ds(x0, _XB), :]
+                return acc + jnp.dot(w_mat, band.reshape(sb * _XB, c),
+                                     preferred_element_type=jnp.float32)
+
+            acc_f = jax.lax.fori_loop(0, n_x, xseg, acc_f)
+            return acc_f, acc_m
+
+        acc_f, acc_m = jax.lax.fori_loop(
+            0, n_seg, yseg,
+            (jnp.zeros((_TILE_N, c), jnp.float32),
+             jnp.zeros((_TILE_N, 1), jnp.float32)))
+        acc = (jnp.concatenate([acc_f, acc_m], axis=1) if with_mask
+               else acc_f)
         if fold_valid:
             valid = (acc[:, c:c + 1] > 0.5).astype(jnp.float32)
             rel = (coords[:, 2:3] * rel_scale) if raw else coords[:, 2:3]
@@ -263,7 +300,7 @@ def _fwd_kernel(h: int, w: int, sb: int, with_mask: bool, fold_valid: bool,
 
 def _bwd_kernel(h: int, w: int, sb: int, n_valid: int, with_valid: bool,
                 raw: bool, g_ref, coords_ref, *rest):
-    """g [BLOCK_N, Cb]; out (bf16) [h*w, Cb]; acc (f32 scratch) [h*w, Cb].
+    """g [BLOCK_N, Cb]; out (bf16) [hp, wp, Cb]; acc (f32 scratch) same.
 
     Grid is (b, c_chunks, n_tiles): wide-C calls are chunked by the GRID
     (BlockSpecs slice the channel axis) instead of by the caller — the
@@ -272,9 +309,10 @@ def _bwd_kernel(h: int, w: int, sb: int, n_valid: int, with_valid: bool,
     (persists across the sequential tile axis; reset at tile 0, flushed at
     the last tile); the pipelined output block only receives the final
     value, halving peak VMEM vs accumulating in the (double-buffered)
-    output. The transposed W is built band-by-band and accumulated into the
-    band's rows only — a dim-0-contraction with a full-height W made Mosaic
-    emit a 2 MB transpose per sub-tile before this.
+    output. The transposed W is built per (y, x) band and accumulated into
+    the band's [sb, _XB] window only — a dim-0-contraction with a
+    full-height W made Mosaic emit a 2 MB transpose per sub-tile before
+    this.
 
     with_valid: an extra [BLOCK_N, 1] bf16 input gates g rows (the
     back-projection's per-point validity — folding it here replaces a
@@ -294,30 +332,40 @@ def _bwd_kernel(h: int, w: int, sb: int, n_valid: int, with_valid: bool,
     def body(k, _):
         sl = pl.ds(k * _TILE_N, _TILE_N)
         coords = coords_ref[sl, :]
-        ohx, _, iy0, ty, _, lat, n_seg = _pix_taps(coords, h, w, sb, raw=raw)
-        row = (jax.lax.broadcasted_iota(jnp.int32, (_TILE_N, 1), 0)
-               + blk * _BLOCK_N + k * _TILE_N)
-        ok = (row < n_valid)
-        ohx = ohx * ok.astype(ohx.dtype)
-        ohx_t_full = pltpu.repeat(ohx.T, sb, axis=0)   # [sb*w, tile]
+        ix0, iy0, wx, ty, _, _, lat, n_seg = _pix_taps(
+            coords, h, w, blk * _BLOCK_N + k * _TILE_N, n_valid, sb, raw=raw)
         # the undefined tail rows of g AND valid (out-of-bounds block reads
         # past n_valid) can be NaN: 0-weight x NaN = NaN in the dot, and one
         # NaN row poisons the whole accumulator through the contraction —
-        # zero BOTH explicitly (the where on g alone is not enough: a
-        # garbage-NaN valid tail re-poisons it through the multiply)
+        # zero BOTH explicitly (the tap sentinels only zero W's columns;
+        # the where on g alone is not enough: a garbage-NaN valid tail
+        # re-poisons it through the multiply)
+        row = (jax.lax.broadcasted_iota(jnp.int32, (_TILE_N, 1), 0)
+               + blk * _BLOCK_N + k * _TILE_N)
+        ok = (row < n_valid)
         g = jnp.where(ok, g_ref[sl, :], 0)
         if with_valid:
             g = g * jnp.where(ok, valid_ref[sl, :], 0)
 
-        def seg(s, _):
-            o_kw = pl.multiple_of((lat + s * sb) * w, sb * w)
-            w_t = ohx_t_full * _wy_band(iy0, ty, o_kw, _TILE_N, w, h, sb,
-                                        transpose=True)
-            acc_ref[pl.ds(o_kw, sb * w), :] += jnp.dot(
-                w_t, g, preferred_element_type=jnp.float32)
+        def yseg(s, _):
+            y0 = pl.multiple_of(lat + s * sb, sb)
+            lat_x, n_x = _xspan(ix0, iy0, y0, sb, w)
+
+            def xseg(t, _2):
+                x0 = pl.multiple_of(lat_x + t * _XB, _XB)
+                w_t = (pltpu.repeat(
+                           _ohx_window(ix0, wx, x0, _XB, transpose=True),
+                           sb, axis=0)
+                       * _wy_window(iy0, ty, y0, h, sb, _XB, transpose=True))
+                upd = jnp.dot(w_t, g, preferred_element_type=jnp.float32)
+                acc_ref[pl.ds(y0, sb), pl.ds(x0, _XB), :] += upd.reshape(
+                    sb, _XB, g.shape[-1])
+                return 0
+
+            jax.lax.fori_loop(0, n_x, xseg, 0)
             return 0
 
-        jax.lax.fori_loop(0, n_seg, seg, 0)
+        jax.lax.fori_loop(0, n_seg, yseg, 0)
         return 0
 
     jax.lax.fori_loop(0, _SUPER, body, 0)
@@ -343,21 +391,23 @@ def _fwd_call(img_flat: jnp.ndarray, coords: jnp.ndarray, h: int, w: int,
     n_tiles = -(-n // _BLOCK_N)      # grid need not divide n (tail masked)
     with_mask = mask2d is not None
 
-    # pad source rows to the band lattice (taps >= h are sentinel-dead,
-    # so padding rows are never addressed with nonzero weight)
-    hp = _pad_rows(h) * w
-    if hp != hw:
-        img_flat = jnp.pad(img_flat, ((0, 0), (0, hp - hw), (0, 0)))
+    # pad source rows/cols to the 2-D band lattice (taps >= h are
+    # sentinel-dead; padded columns are zeros, preserving zeros-padding
+    # semantics for the tap at column w)
+    hp, wp = _pad_rows(h), _pad_cols(w)
+    img4 = img_flat.reshape(b, h, w, c)
+    if (hp, wp) != (h, w):
+        img4 = jnp.pad(img4, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
     # cast outside the kernel: a separate f32 source + bf16 copy inside VMEM
     # was the difference between fitting and a scoped-vmem OOM
-    img_flat = img_flat.astype(jnp.bfloat16)
+    img4 = img4.astype(jnp.bfloat16)
     in_specs = [
-        pl.BlockSpec((None, hp, c), lambda i, j: (i, 0, 0),
+        pl.BlockSpec((None, hp, wp, c), lambda i, j: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((None, _BLOCK_N, ncols), lambda i, j: (i, j, 0),
                      memory_space=pltpu.VMEM),
     ]
-    args = [img_flat, coords]
+    args = [img4, coords]
     if with_mask:
         hr = _pad_rows(h)
         if hr != h:
@@ -391,14 +441,15 @@ def _fwd_call_grouped(img_flat: jnp.ndarray, coords3: jnp.ndarray,
     group's cameras — the camera axis never exists in HBM for the
     FEATURES (see _fwd_kernel grouped) — plus the tiny per-camera
     validity written for the backward's gate."""
-    _, hw, c = img_flat.shape
+    bc, hw, c = img_flat.shape
     n = coords3.shape[1]
     n_tiles = -(-n // _BLOCK_N)
 
-    hp = _pad_rows(h) * w
-    if hp != hw:
-        img_flat = jnp.pad(img_flat, ((0, 0), (0, hp - hw), (0, 0)))
-    img_flat = img_flat.astype(jnp.bfloat16)
+    hp, wp = _pad_rows(h), _pad_cols(w)
+    img4 = img_flat.reshape(bc, h, w, c)
+    if (hp, wp) != (h, w):
+        img4 = jnp.pad(img4, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
+    img4 = img4.astype(jnp.bfloat16)
     hr = _pad_rows(h)
     if hr != h:
         mask2d = jnp.pad(mask2d, ((0, 0), (0, hr - h), (0, 0)))
@@ -412,8 +463,8 @@ def _fwd_call_grouped(img_flat: jnp.ndarray, coords3: jnp.ndarray,
         # block, which is what makes the in-kernel accumulation legal
         grid=(b, 2, n_tiles, gs),
         in_specs=[
-            pl.BlockSpec((None, hp, c),
-                         lambda i, g, j, k: ((i * 2 + g) * gs + k, 0, 0),
+            pl.BlockSpec((None, hp, wp, c),
+                         lambda i, g, j, k: ((i * 2 + g) * gs + k, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, _BLOCK_N, 3),
                          lambda i, g, j, k: ((i * 2 + g) * gs + k, j, 0),
@@ -440,7 +491,7 @@ def _fwd_call_grouped(img_flat: jnp.ndarray, coords3: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=48 * 1024 * 1024),
         interpret=(jax.default_backend() != "tpu"),
-    )(img_flat, coords3, mask2d)
+    )(img4, coords3, mask2d)
 
 
 def _bwd_call(g: jnp.ndarray, coords: jnp.ndarray, h: int, w: int,
@@ -483,7 +534,7 @@ def _bwd_call(g: jnp.ndarray, coords: jnp.ndarray, h: int, w: int,
     n_tiles = -(-n // _BLOCK_N)      # grid need not divide n (tail masked)
 
     g = g.astype(jnp.bfloat16)  # halves the VMEM block (accumulator stays f32)
-    hp = _pad_rows(h) * w
+    hp, wp = _pad_rows(h), _pad_cols(w)
     if gs:
         g_spec = pl.BlockSpec(
             (None, None, _BLOCK_N, cb),
@@ -509,13 +560,17 @@ def _bwd_call(g: jnp.ndarray, coords: jnp.ndarray, h: int, w: int,
                           valid is not None, raw),
         grid=(b, n_cc, n_tiles),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((None, hp, cb), lambda i, k, j: (i, 0, k),
+        out_specs=pl.BlockSpec((None, hp, wp, cb),
+                               lambda i, k, j: (i, 0, 0, k),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, hp, n_cc * cb), jnp.bfloat16),
-        scratch_shapes=[pltpu.VMEM((hp, cb), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((b, hp, wp, n_cc * cb), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((hp, wp, cb), jnp.float32)],
         interpret=(jax.default_backend() != "tpu"),
     )(*args)
-    return out[:, :h * w, :c] if n_cc * cb != c else out[:, :h * w]
+    # strip lattice padding; callers consume a flat [B, h*w, c] cotangent
+    if (hp, wp) != (h, w) or n_cc * cb != c:
+        out = out[:, :h, :w, :c]
+    return out.reshape(b, h * w, c)
 
 
 @jax.custom_vjp
