@@ -41,6 +41,12 @@ def main():
                        learning_rate=2e-4, max_depth=80.0, eval_max_depth=80)
     cfg.set("cold_start_warmup_steps", min(600, n // 3), section="training")
     cfg.set("cold_start_ramp_steps", min(600, n // 3), section="training")
+    # schedule-variant knobs for attribution runs (docs/PERF.md round-5)
+    if os.environ.get("CS_CEIL"):
+        cfg.set("cold_start_pose_ceil", float(os.environ["CS_CEIL"]),
+                section="training")
+    if os.environ.get("CS_STAGGER"):
+        cfg.set("cold_start_stagger_ramps", True, section="training")
     model = VFDepthModel(cfg)
 
     ds = SyntheticSceneDataset(num_samples=8, num_cams=6, height=h, width=w,

@@ -144,22 +144,26 @@ def test_cold_start_overlap_ramp():
     assert logs_full["overlap_ramp"] == 1.0 and logs_full["st_ramp"] == 1.0
 
     # cold_start_stagger_ramps: the spatio-temporal term ramps one
-    # ramp_steps later, over [warmup+ramp, warmup+2*ramp)
-    scfg = micro_config()
-    scfg.set("cold_start_warmup_steps", 10, section="training")
-    scfg.set("cold_start_ramp_steps", 10, section="training")
-    scfg.set("cold_start_stagger_ramps", True, section="training")
-    stag = VFDepthModel(scfg)
-    _, logs_s_mid = loss_at(stag, 15)
-    _, logs_s_sp = loss_at(stag, 20)
-    _, logs_s_st = loss_at(stag, 25)
-    _, logs_s_full = loss_at(stag, 30)
-    assert abs(logs_s_mid["overlap_ramp"] - 0.5) < 1e-6
-    assert logs_s_mid["st_ramp"] == 0.0
-    assert logs_s_sp["overlap_ramp"] == 1.0 and logs_s_sp["st_ramp"] == 0.0
-    assert abs(logs_s_st["st_ramp"] - 0.5) < 1e-6
-    assert (logs_s_full["overlap_ramp"] == 1.0
-            and logs_s_full["st_ramp"] == 1.0)
+    # ramp_steps later, over [warmup+ramp, warmup+2*ramp). The schedule is
+    # a pure function of the step (losses/composite.cold_start_schedule) —
+    # asserted directly, no second compiled model needed.
+    from vfdepth_tpu.losses.composite import LossConfig, cold_start_schedule
+
+    scfg = LossConfig(warmup_steps=10, ramp_steps=10, stagger_ramps=True)
+    f32 = jnp.float32
+
+    def sched(step):
+        r, st, am = cold_start_schedule(scfg, jnp.asarray(step, jnp.int32), f32)
+        return float(r), float(st), float(am)
+
+    assert sched(0) == (0.0, 0.0, 0.0)
+    assert sched(15) == (0.5, 0.0, 1.0)   # spatio mid-ramp, ST not started
+    assert sched(20) == (1.0, 0.0, 1.0)   # spatio full, ST still zero
+    assert sched(25) == (1.0, 0.5, 1.0)   # ST mid-ramp (priors half-faded)
+    assert sched(30) == (1.0, 1.0, 1.0)   # fully ramped
+    # off switch: schedule disabled -> all None
+    assert cold_start_schedule(LossConfig(), jnp.asarray(0), f32) == (
+        None, None, None)
 
     # at step 0 the auto-mask is fully blended OUT (amask_blend=0): the
     # effective reprojection mask is just ref_mask (all-ones here), so

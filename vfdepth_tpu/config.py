@@ -193,7 +193,7 @@ def get_config(path: str, mode: str = "train", weight_path: Optional[str] = None
     # anchor pulls the mean sigmoid toward 0.5 (mid-range depth).
     tr.setdefault("cold_start_pose_coeff", 1.0)
     tr.setdefault("cold_start_pose_floor", 0.1)
-    tr.setdefault("cold_start_pose_ceil", 2.5)
+    tr.setdefault("cold_start_pose_ceil", 1.0)
     tr.setdefault("cold_start_disp_coeff", 0.1)
     # Optimizer-level pose-net LR multiplier while the staged schedule is
     # active, fading linearly to exactly 1.0 with the spatio-temporal ramp

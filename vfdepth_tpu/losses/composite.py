@@ -89,14 +89,51 @@ class LossConfig(NamedTuple):
     #     (see the inline note at the prior computation).
     # Both vanish with the schedule, leaving the reference objective exact.
     # Ceiling note: the fly-away basin sits at the +-4 m translation clamp,
-    # so the ceiling only needs to stay well below 4; it must stay ABOVE
-    # any plausible per-frame ego-motion or it actively suppresses the
-    # photometrically-consistent pose scale during the ramp (measured at
-    # 1.5 m/frame with ceil 1.0: convergence stalls at abs_rel ~0.88).
+    # and the ceiling is load-bearing in BOTH directions (round-5 multi-seed
+    # runs, docs/PERF.md): at 1.0 it contains early pose overshoot that
+    # otherwise corrupts the depth scale (ceil 2.5 at 0.5 m/frame produced a
+    # hard 0.835 abs_rel stall on one of four seeds; 1.0 eliminated every
+    # stall), but it must stay ABOVE the true per-frame ego-motion or it
+    # actively suppresses the photometrically-consistent scale (measured at
+    # 1.5 m/frame with ceil 1.0: stalls at ~0.88 — fast rigs raise
+    # cold_start_pose_ceil, see tests/test_learning_tpu.py's fast recipe).
     pose_prior_coeff: float = 1.0
     pose_prior_floor: float = 0.1
-    pose_prior_ceil: float = 2.5
+    pose_prior_ceil: float = 1.0
     disp_anchor_coeff: float = 0.1
+
+
+def cold_start_schedule(cfg: LossConfig, step, dtype):
+    """The staged cold-start schedule as a pure function of the (traced)
+    step: (ramp, st_ramp, amask_blend), all None when the schedule is off
+    (warmup/ramp both 0, or step None at eval).
+
+      * ramp — the spatio coefficient's linear fade-in over
+        [warmup, warmup + ramp_steps);
+      * st_ramp — the spatio-temporal coefficient's fade: equal to ``ramp``
+        by default (joint schedule), or delayed one ramp_steps under
+        ``cfg.stagger_ramps`` (see LossConfig for the measured tradeoff).
+        The cold-start priors fade as (1 - st_ramp) — with the LAST ramp;
+      * amask_blend — the auto-mask fades in FASTER (fully in by the end of
+        warmup), so the temporal objective is reference-exact before the
+        overlap terms start ramping. At a zero-pose init the identity
+        comparison is a tie (warped == context), so the auto-masked
+        objective starts on a zero-gradient plateau; blending the mask in
+        restores from-scratch trainability (see reprojection_loss)."""
+    if not (cfg.warmup_steps or cfg.ramp_steps) or step is None:
+        return None, None, None
+    ramp = jnp.clip(
+        (step.astype(jnp.float32) - float(cfg.warmup_steps))
+        / float(max(cfg.ramp_steps, 1)), 0.0, 1.0).astype(dtype)
+    st_ramp = (jnp.clip(
+        (step.astype(jnp.float32)
+         - float(cfg.warmup_steps + cfg.ramp_steps))
+        / float(max(cfg.ramp_steps, 1)), 0.0, 1.0).astype(dtype)
+        if cfg.stagger_ramps else ramp)
+    amask_blend = jnp.clip(
+        step.astype(jnp.float32) / float(max(cfg.warmup_steps, 1)),
+        0.0, 1.0).astype(dtype)
+    return ramp, st_ramp, amask_blend
 
 
 def reprojection_loss(
@@ -246,31 +283,7 @@ def total_loss(
     ref_mask = batch["mask"]
     context = jnp.stack([batch[f"color/{f}/0"] for f in ctx_ids], axis=2)
 
-    ramp = None
-    st_ramp = None
-    amask_blend = None
-    if (cfg.warmup_steps or cfg.ramp_steps) and step is not None:
-        ramp = jnp.clip(
-            (step.astype(jnp.float32) - float(cfg.warmup_steps))
-            / float(max(cfg.ramp_steps, 1)), 0.0, 1.0).astype(target.dtype)
-        # Optionally the spatio-temporal term ramps STAGGERED, one
-        # ramp_steps after the spatio term completes (see LossConfig
-        # stagger_ramps for the measured tradeoff; default = joint ramps,
-        # the schedule validated at the canonical regime).
-        st_ramp = (jnp.clip(
-            (step.astype(jnp.float32)
-             - float(cfg.warmup_steps + cfg.ramp_steps))
-            / float(max(cfg.ramp_steps, 1)), 0.0, 1.0).astype(target.dtype)
-            if cfg.stagger_ramps else ramp)
-        # The auto-mask fades in on a FASTER schedule (fully in by the end
-        # of warmup), so the temporal objective is reference-exact before
-        # the overlap terms start ramping. At a zero-pose init the identity
-        # comparison is a tie (warped == context), so the auto-masked
-        # objective starts on a zero-gradient plateau; blending the mask in
-        # restores from-scratch trainability (see reprojection_loss).
-        amask_blend = jnp.clip(
-            step.astype(jnp.float32) / float(max(cfg.warmup_steps, 1)),
-            0.0, 1.0).astype(target.dtype)
+    ramp, st_ramp, amask_blend = cold_start_schedule(cfg, step, target.dtype)
     sp_coeff = cfg.spatio_coeff if ramp is None else cfg.spatio_coeff * ramp
     st_coeff = (cfg.spatio_tempo_coeff if st_ramp is None
                 else cfg.spatio_tempo_coeff * st_ramp)

@@ -52,7 +52,7 @@ def build_config(*, cameras=None, height=384, width=640, batch_size=2,
             "aug_depth": aug_depth, "aug_angle": [15, 15, 40],
             "cold_start_warmup_steps": 0, "cold_start_ramp_steps": 0,
             "cold_start_pose_coeff": 1.0, "cold_start_pose_floor": 0.1,
-            "cold_start_pose_ceil": 2.5, "cold_start_disp_coeff": 0.1,
+            "cold_start_pose_ceil": 1.0, "cold_start_disp_coeff": 0.1,
         },
         "loss": {"disparity_smoothness": 0.001, "spatio_coeff": 0.03,
                  "spatio_tempo_coeff": 0.1, "pose_loss_coeff": 0.0,

@@ -82,7 +82,7 @@ def loss_config_from(cfg: Config) -> LossConfig:
         stagger_ramps=bool(cfg.get("cold_start_stagger_ramps", False)),
         pose_prior_coeff=float(cfg.get("cold_start_pose_coeff", 1.0)),
         pose_prior_floor=float(cfg.get("cold_start_pose_floor", 0.1)),
-        pose_prior_ceil=float(cfg.get("cold_start_pose_ceil", 2.5)),
+        pose_prior_ceil=float(cfg.get("cold_start_pose_ceil", 1.0)),
         disp_anchor_coeff=float(cfg.get("cold_start_disp_coeff", 0.1)),
     )
 
@@ -333,27 +333,33 @@ class VFDepthModel:
 
     # ------------------------------------------------------------------
     def init(self, rng: jax.Array, batch: Dict[str, jnp.ndarray]):
-        """Initialize parameters + batch-norm state for both networks."""
+        """Initialize parameters + batch-norm state for both networks.
+
+        The flax ``.init`` calls run under ``jax.jit``: eagerly they
+        op-by-op dispatch the full forward (~20 s per micro model on one
+        CPU core — the dominant cost of every test that builds a model),
+        while the jitted init program lands in the persistent compile
+        cache like any other, so warm suite runs load it in ~1 s."""
         r1, r2 = jax.random.split(rng)
         fusion_k = f"K/{self.fusion_level + 1}"
         fusion_ik = f"inv_K/{self.fusion_level + 1}"
         if isinstance(self.depth_net, FusedDepthNet):
-            dvars = self.depth_net.init(
+            dvars = jax.jit(self.depth_net.init, static_argnames=("train",))(
                 r1, batch["color_aug/0/0"], batch["mask"], batch[fusion_k],
                 batch[fusion_ik], batch["extrinsics"], batch["extrinsics_inv"],
                 extrinsics_aug=batch["extrinsics"] if self.aug_depth else None,
                 train=False)
         else:
-            dvars = self.depth_net.init(r1, pack_cam_feat(batch["color_aug/0/0"]),
-                                        train=False)
+            dvars = jax.jit(self.depth_net.init, static_argnames=("train",))(
+                r1, pack_cam_feat(batch["color_aug/0/0"]), train=False)
         f_next = self.frame_ids[1] if len(self.frame_ids) > 1 else 0
         if isinstance(self.pose_net, FusedPoseNet):
-            pvars = self.pose_net.init(
+            pvars = jax.jit(self.pose_net.init, static_argnames=("train",))(
                 r2, batch["color_aug/0/0"], batch[f"color_aug/{f_next}/0"],
                 batch["mask"], batch[fusion_k], batch[fusion_ik],
                 batch["extrinsics"], batch["extrinsics_inv"], train=False)
         else:
-            pvars = self.pose_net.init(
+            pvars = jax.jit(self.pose_net.init, static_argnames=("train",))(
                 r2, pack_cam_feat(batch["color_aug/0/0"]),
                 pack_cam_feat(batch[f"color_aug/{f_next}/0"]), train=False)
 
