@@ -523,7 +523,23 @@ def _bwd_call(g: jnp.ndarray, coords: jnp.ndarray, h: int, w: int,
         b, n, c_in = g.shape
     if c is None:
         c = c_in
-    cb = min(c, 256)                 # channel chunk width
+    hp, wp = _pad_rows(h), _pad_cols(w)
+    # Channel chunk width: every chunk re-runs the WHOLE kernel body — tap
+    # prep, the dynamic band loops, the one-hot W builds and the f32 scratch
+    # read-modify-write all scale with the chunk count while the MAC total
+    # is chunk-invariant. So take the widest lane-aligned chunk whose VMEM
+    # footprint (f32 accumulator scratch + double-buffered g/out blocks)
+    # fits a 48 MB scoped budget (v5e VMEM is 128 MB; the default 16 MB
+    # limit is raised via compiler_params below, as the grouped forward
+    # already does). At DDAD merged shapes (c = 768, 48x80 maps) this runs
+    # ONE chunk instead of three.
+    def _fits(width):
+        return (hp * wp * width * 4                 # f32 scratch
+                + 2 * _BLOCK_N * width * 2          # g block (double-buffered)
+                + 2 * hp * wp * width * 2) <= 48 * 1024 * 1024
+    cb = min(c, 256)
+    if c % 128 == 0 and _fits(c):
+        cb = c
     if cb % 128 != 0 and cb != c_in:
         # Mosaic lane rule: a block's last dim must be a multiple of 128 or
         # equal the array's. A truncating chunk (c < c_in) that is not
@@ -534,7 +550,6 @@ def _bwd_call(g: jnp.ndarray, coords: jnp.ndarray, h: int, w: int,
     n_tiles = -(-n // _BLOCK_N)      # grid need not divide n (tail masked)
 
     g = g.astype(jnp.bfloat16)  # halves the VMEM block (accumulator stays f32)
-    hp, wp = _pad_rows(h), _pad_cols(w)
     if gs:
         g_spec = pl.BlockSpec(
             (None, None, _BLOCK_N, cb),
